@@ -1,0 +1,92 @@
+"""Stable, vectorized 64-bit hashing for partitioning / salting / dedup keys.
+
+Built on ``pandas.util.hash_array`` (SipHash-based, cython-vectorized, stable
+for a fixed ``hash_key``) so we never loop Python rows in a hot stage.  Used
+for:
+
+- MERGE INTO partition keys — ``hash64(repo, path, commit) % P``.  Hashing the
+  *full* key triple is the engine's built-in salting scheme for the
+  Zipf-skewed ``repo`` column (a hot repo's rows scatter uniformly across
+  partitions because path+commit vary); ``salted_partition`` below adds an
+  explicit salt for operations keyed on ``repo`` alone.
+- Z-order inputs — per-column hashes fed to the bit interleaver.
+- Exact dedup — group keys for keep-first/keep-latest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HASH_KEY = "amdlray-stable16"  # exactly 16 bytes, fixed => stable across runs
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _as_object_array(col) -> np.ndarray:
+    """Arrow/pandas/numpy column -> numpy array suitable for hash_array."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(col.type):
+            return np.asarray(col.cast(pa.int64()).fill_null(np.int64(-(2**62))))
+        # strings (incl. large_string) and everything else via object dtype
+        return np.asarray(col.to_pandas(), dtype=object)
+    if isinstance(col, pd.Series):
+        col = col.to_numpy()
+    arr = np.asarray(col)
+    if arr.dtype.kind in ("i", "u", "f"):
+        return arr
+    return arr.astype(object)
+
+
+def hash_col(col) -> np.ndarray:
+    """64-bit stable hash of one column -> uint64 ndarray."""
+    arr = _as_object_array(col)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def hash_cols(*cols) -> np.ndarray:
+    """Combine per-column hashes into one uint64 key (order-sensitive mix)."""
+    with np.errstate(over="ignore"):
+        out = hash_col(cols[0])
+        for c in cols[1:]:
+            h = hash_col(c)
+            out = out ^ (h + _MIX + (out << np.uint64(6)) + (out >> np.uint64(2)))
+    return out
+
+
+def hash_batch_cols(batch: pa.Table, cols: list[str] | tuple[str, ...]) -> np.ndarray:
+    return hash_cols(*[batch[c] for c in cols])
+
+
+def salted_partition(
+    keys: np.ndarray, num_partitions: int, salt: np.ndarray | None = None
+) -> np.ndarray:
+    """Partition ids for uint64 keys, optionally salted.
+
+    For skew-prone single-column keys (e.g. a Zipf ``repo``), pass a per-row
+    ``salt`` (any uint64, e.g. ``hash_col(path)``): hot keys split into
+    sub-partitions ``(key, salt % n_salts)`` and are re-merged by the caller
+    after the per-partition work.
+    """
+    with np.errstate(over="ignore"):
+        k = keys if salt is None else keys ^ (salt + _MIX)
+    return (k % np.uint64(num_partitions)).astype(np.int64)
+
+
+def sha256_col(col) -> np.ndarray:
+    """Per-row sha256 hexdigest of a string column (the verification invariant).
+
+    hashlib releases the GIL per call; with Ray this runs one batch per task
+    so the Python loop here is bounded by batch_size, and sha256 itself is
+    C-speed. Null -> empty-string digest of "" is NOT used; nulls map to None.
+    """
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        vals = col.to_pandas()
+    else:
+        vals = pd.Series(col)
+    out = np.empty(len(vals), dtype=object)
+    for i, v in enumerate(vals):
+        out[i] = None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+    return out

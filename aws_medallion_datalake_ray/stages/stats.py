@@ -1,0 +1,93 @@
+"""Per-file column statistics collection (min/max/null) for manifest entries.
+
+Generalizes the reference's two schema/stat mechanisms — Glue crawler
+inference (``terraform/agilean-databases.tf:9-58``) and the per-column
+completeness profile (``gold_agilean.py:113-129``) — into exact footer-derived
+stats: Parquet row-group metadata already stores min/max/null per column, so
+collection is a metadata-only read (no data pages touched), fanned out as Ray
+tasks over file chunks.  These stats drive scan pruning and merge targeting.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+import pyarrow.parquet as pq
+
+import ray
+
+# string bounds longer than this are truncated: a truncated *min* is still a
+# valid lower bound; a truncated *max* is NOT a valid upper bound, so it is
+# dropped (None = unbounded) — pruning stays conservative and correct.
+_MAX_BOUND_LEN = 120
+
+
+def _json_safe(v: Any, is_upper: bool) -> Any:
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, str):
+        if len(v) > _MAX_BOUND_LEN:
+            return None if is_upper else v[:_MAX_BOUND_LEN]
+        return v
+    return None
+
+
+def parquet_footer_stats(
+    abs_path: str, stats_cols: tuple[str, ...] | list[str]
+) -> tuple[int, int, dict[str, dict[str, Any]]]:
+    """(rows, file_bytes, {col: {"min","max","nulls"}}) from the footer only."""
+    import os
+
+    pf = pq.ParquetFile(abs_path)
+    md = pf.metadata
+    names = pf.schema_arrow.names
+    want = [c for c in stats_cols if c in names]
+    col_idx = {c: names.index(c) for c in want}
+    agg: dict[str, dict[str, Any]] = {c: {"min": None, "max": None, "nulls": 0} for c in want}
+    for rg in range(md.num_row_groups):
+        for c, i in col_idx.items():
+            st = md.row_group(rg).column(i).statistics
+            if st is None:
+                agg[c]["min"] = agg[c]["max"] = None  # unknown -> unbounded
+                continue
+            a = agg[c]
+            if st.null_count is not None:
+                a["nulls"] += st.null_count
+            if st.has_min_max:
+                if a["min"] is None or st.min < a["min"]:
+                    a["min"] = st.min
+                if a["max"] is None or st.max > a["max"]:
+                    a["max"] = st.max
+    for c, a in agg.items():
+        a["min"] = _json_safe(a["min"], is_upper=False)
+        a["max"] = _json_safe(a["max"], is_upper=True)
+    return md.num_rows, os.path.getsize(abs_path), agg
+
+
+@ray.remote
+def _stats_chunk(paths: list[str], stats_cols: tuple[str, ...]) -> list[tuple[int, int, dict]]:
+    return [parquet_footer_stats(p, stats_cols) for p in paths]
+
+
+def collect_stats(
+    abs_paths: list[str], stats_cols: tuple[str, ...], chunk: int = 64
+) -> list[tuple[int, int, dict]]:
+    """Footer stats for many files — parallel Ray tasks when worthwhile."""
+    if len(abs_paths) <= chunk or not ray.is_initialized():
+        return [parquet_footer_stats(p, stats_cols) for p in abs_paths]
+    refs = [
+        _stats_chunk.remote(abs_paths[i : i + chunk], tuple(stats_cols))
+        for i in range(0, len(abs_paths), chunk)
+    ]
+    out: list[tuple[int, int, dict]] = []
+    for r in refs:
+        out.extend(ray.get(r))
+    return out

@@ -1,0 +1,296 @@
+"""Snapshot / manifest tree — the engine's table format.
+
+Replaces the reference's *side-channel* schema registry (Glue Catalog DDL,
+``silver_digit_clean.py:131-235``) and its non-atomic ``mode("overwrite")``
+table state (``silver_digit_clean.py:127``) with an Iceberg-style, engine-owned
+metadata tree giving **serializable snapshot isolation**:
+
+- data files are immutable;
+- a *manifest* is an immutable JSON file listing data-file entries
+  (path, rows, bytes, partition values, per-column min/max/null stats);
+- a *snapshot* is an immutable JSON file referencing a set of manifests;
+- ``HEAD`` is one tiny JSON pointer, swapped atomically (``os.replace``)
+  under an optimistic-concurrency check (expected parent id) guarded by an
+  ``O_EXCL`` lock file.  On a real object store the same protocol maps to
+  put-if-absent on versioned pointer names; the swap point is identical.
+
+Commits are **incremental**: a commit only rewrites manifests that contain
+removed files and writes new manifests for added files — unchanged manifests
+are reused by reference, so commit cost is O(changed files), not O(table),
+which is what makes maintenance commits feasible on a 10^12-file table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+MANIFEST_CHUNK = 10_000  # data-file entries per manifest file
+_LOCK_STALE_SEC = 120.0
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this writer's snapshot was resolved."""
+
+
+@dataclass
+class DataFile:
+    """One immutable Parquet data file registered in a manifest."""
+
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    partition: dict[str, str] = field(default_factory=dict)
+    # col -> {"min": v, "max": v, "nulls": n}; bounds may be absent (None)
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            partition=d.get("partition", {}),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    ts: str  # ISO-8601, from the job-level run_ts (determinism: no wall clock in data)
+    operation: str
+    manifests: list[str]  # manifest file names (relative to _manifest/)
+    summary: dict[str, Any] = field(default_factory=dict)
+    schema_json: str | None = None  # serialized arrow schema (optional)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "ts": self.ts,
+            "operation": self.operation,
+            "manifests": self.manifests,
+            "summary": self.summary,
+            "schema_json": self.schema_json,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(**d)
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class ManifestStore:
+    """Owns the ``_manifest/`` directory of one table."""
+
+    def __init__(self, table_root: str):
+        self.root = table_root
+        self.dir = os.path.join(table_root, "_manifest")
+
+    # ------------------------------------------------------------ reads
+
+    def head_id(self) -> int | None:
+        try:
+            with open(os.path.join(self.dir, "HEAD")) as f:
+                return json.load(f)["snapshot_id"]
+        except FileNotFoundError:
+            return None
+
+    def head(self) -> Snapshot | None:
+        sid = self.head_id()
+        return None if sid is None else self.snapshot(sid)
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.dir, f"snap-{snapshot_id}.json")) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def read_manifest(self, name: str) -> list[DataFile]:
+        with open(os.path.join(self.dir, name)) as f:
+            return [DataFile.from_json(e) for e in json.load(f)["entries"]]
+
+    def files(self, snapshot: Snapshot | int | None = None) -> list[DataFile]:
+        if snapshot is None:
+            snapshot = self.head()
+            if snapshot is None:
+                return []
+        if isinstance(snapshot, int):
+            snapshot = self.snapshot(snapshot)
+        out: list[DataFile] = []
+        for m in snapshot.manifests:
+            out.extend(self.read_manifest(m))
+        return out
+
+    def snapshots(self) -> list[Snapshot]:
+        """All snapshot objects on disk, ascending by id."""
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(Snapshot.from_json(json.load(f)))
+        return sorted(out, key=lambda s: s.snapshot_id)
+
+    # ------------------------------------------------------------ commit
+
+    def _acquire_lock(self) -> str:
+        lock = os.path.join(self.dir, "COMMIT.lock")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                    if age > _LOCK_STALE_SEC:
+                        os.unlink(lock)  # steal stale lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock held too long: {lock}")
+                time.sleep(0.05)
+
+    def commit(
+        self,
+        added: Iterable[DataFile],
+        removed_paths: Iterable[str],
+        operation: str,
+        run_ts: str,
+        expected_parent: int | None = "HEAD",  # type: ignore[assignment]
+        summary: dict | None = None,
+        schema_json: str | None = None,
+    ) -> Snapshot:
+        """Atomically produce a new snapshot = parent - removed + added.
+
+        ``expected_parent="HEAD"`` (default) means "whatever HEAD is at lock
+        time" (blind append/maintenance); passing the snapshot id the writer
+        *read from* enforces optimistic serializable isolation and raises
+        :class:`CommitConflict` when another writer got there first.
+        """
+        os.makedirs(self.dir, exist_ok=True)
+        added = list(added)
+        removed = set(removed_paths)
+        lock = self._acquire_lock()
+        try:
+            head = self.head()
+            parent_id = head.snapshot_id if head else None
+            if expected_parent != "HEAD" and expected_parent != parent_id:
+                raise CommitConflict(
+                    f"expected parent {expected_parent} but HEAD is {parent_id}"
+                )
+            new_id = (parent_id or 0) + 1
+            if schema_json is None and head is not None:
+                schema_json = head.schema_json
+
+            manifests: list[str] = []
+            rewrite_spill: list[DataFile] = []
+            seen_removed: set[str] = set()
+            reused_files = reused_rows = reused_bytes = 0
+            if head is not None:
+                for m in head.manifests:
+                    entries = self.read_manifest(m)
+                    hit = [e for e in entries if e.path in removed]
+                    if not hit:
+                        manifests.append(m)  # reuse untouched manifest
+                        reused_files += len(entries)
+                        reused_rows += sum(e.rows for e in entries)
+                        reused_bytes += sum(e.bytes for e in entries)
+                    else:
+                        seen_removed.update(e.path for e in hit)
+                        rewrite_spill.extend(e for e in entries if e.path not in removed)
+            missing = removed - seen_removed
+            if missing:
+                raise ValueError(f"removing files not in parent snapshot: {sorted(missing)[:5]}")
+
+            new_entries = rewrite_spill + added
+            for i in range(0, len(new_entries), MANIFEST_CHUNK):
+                name = f"manifest-{new_id}-{i // MANIFEST_CHUNK}.json"
+                atomic_write_json(
+                    os.path.join(self.dir, name),
+                    {"entries": [e.to_json() for e in new_entries[i : i + MANIFEST_CHUNK]]},
+                )
+                manifests.append(name)
+
+            snap = Snapshot(
+                snapshot_id=new_id,
+                parent_id=parent_id,
+                ts=run_ts,
+                operation=operation,
+                manifests=manifests,
+                summary=dict(
+                    summary or {},
+                    added_files=len(added),
+                    removed_files=len(removed),
+                    total_files=len(new_entries) + reused_files,
+                    total_rows=sum(e.rows for e in new_entries) + reused_rows,
+                    total_bytes=sum(e.bytes for e in new_entries) + reused_bytes,
+                ),
+                schema_json=schema_json,
+            )
+            atomic_write_json(os.path.join(self.dir, f"snap-{new_id}.json"), snap.to_json())
+            # the atomic swap: readers resolve HEAD exactly once per scan
+            atomic_write_json(os.path.join(self.dir, "HEAD"), {"snapshot_id": new_id})
+            return snap
+        finally:
+            os.unlink(lock)
+
+    # ------------------------------------------------------------ expiry
+
+    def live_snapshot_ids(self, keep_last: int) -> set[int]:
+        """Ids of the last ``keep_last`` snapshots on the HEAD ancestry chain."""
+        keep: set[int] = set()
+        cur = self.head()
+        while cur is not None and len(keep) < keep_last:
+            keep.add(cur.snapshot_id)
+            cur = self.snapshot(cur.parent_id) if cur.parent_id is not None else None
+        return keep
+
+    def expire(self, keep_last: int = 2) -> list[int]:
+        """Delete snapshot + manifest files not reachable from the kept set.
+
+        Returns the expired snapshot ids.  Data-file GC is separate
+        (:meth:`LakeTable.gc_orphans`) so a crash between the two steps never
+        loses reachable data.
+        """
+        keep = self.live_snapshot_ids(keep_last)
+        kept_manifests: set[str] = set()
+        expired: list[int] = []
+        for snap in self.snapshots():
+            if snap.snapshot_id in keep:
+                kept_manifests.update(snap.manifests)
+        for snap in self.snapshots():
+            if snap.snapshot_id in keep:
+                continue
+            expired.append(snap.snapshot_id)
+            os.unlink(os.path.join(self.dir, f"snap-{snap.snapshot_id}.json"))
+            for m in snap.manifests:
+                if m not in kept_manifests:
+                    p = os.path.join(self.dir, m)
+                    if os.path.exists(p):
+                        os.unlink(p)
+        return expired

@@ -1,0 +1,613 @@
+"""LakeTable — the engine's table abstraction over Parquet + manifest tree.
+
+One ``LakeTable`` = one directory::
+
+    <root>/table.json          # static config (stats columns)
+    <root>/data/<commit>/...   # immutable parquet data files
+    <root>/_manifest/          # snapshots + manifests + HEAD (manifest.py)
+    <root>/_ledger/            # per-job checkpoint ledgers (ledger.py)
+
+All reads are **snapshot-consistent**: ``scan()`` resolves HEAD once and reads
+exactly that snapshot's file list (cf. the reference's race-prone
+read-directory-while-overwriting pattern, ``silver_digit_clean.py:27,127``).
+
+Maintenance ops (the BASELINE.json north_rule suite):
+
+- :meth:`compact`   — bin-packing small files into target-size Parquet
+- :meth:`zorder`    — Z-order/Hilbert clustering via bit-interleaved sort keys
+- :meth:`rewrite_stats` — manifest rewrite with per-file min/max column stats
+- :meth:`expire_snapshots` + :meth:`gc_orphans` — snapshot expiry and
+  reachability-based orphan-file GC
+- :meth:`merge`     — MERGE INTO (upsert on key), broadcast anti-join with
+  stats-pruned copy-on-write of affected files
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+from aws_medallion_datalake_ray.functions.zorder import hilbert_key, zorder_key
+from aws_medallion_datalake_ray.schema import DEFAULT_STATS_COLS, SOURCE_FILES_KEY
+from aws_medallion_datalake_ray.stages.stats import collect_stats, parquet_footer_stats
+from aws_medallion_datalake_ray.state.ledger import Ledger
+from aws_medallion_datalake_ray.state.manifest import DataFile, ManifestStore, Snapshot
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+# A conjunction of simple comparisons: [(col, op, value), ...] with op in
+# {"==","<","<=",">",">=","in"}. Evaluated twice: against manifest min/max for
+# file pruning, and pushed down to pyarrow row-group/row filtering.
+Predicate = Sequence[tuple[str, str, Any]]
+
+
+def _schema_to_json(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def _schema_from_json(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[DataFile]:
+    """Manifest-level pruning: keep a file unless its stats *prove* no row can
+    match.  Missing stats/bounds -> keep (conservative)."""
+    if not predicate:
+        return files
+    out = []
+    for f in files:
+        keep = True
+        for col, op, val in predicate:
+            st = f.stats.get(col)
+            if st is None:
+                continue
+            lo, hi = st.get("min"), st.get("max")
+            if op == "==" and (
+                (lo is not None and val < lo) or (hi is not None and val > hi)
+            ):
+                keep = False
+            elif op == "in":
+                vals = sorted(val)
+                if (lo is not None and vals[-1] < lo) or (hi is not None and vals[0] > hi):
+                    keep = False
+            elif op == "<" and lo is not None and lo >= val:
+                keep = False
+            elif op == "<=" and lo is not None and lo > val:
+                keep = False
+            elif op == ">" and hi is not None and hi <= val:
+                keep = False
+            elif op == ">=" and hi is not None and hi < val:
+                keep = False
+            if not keep:
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def predicate_to_expr(predicate: Predicate | None):
+    if not predicate:
+        return None
+    expr = None
+    for col, op, val in predicate:
+        f = pads.field(col)
+        e = {
+            "==": lambda: f == val,
+            "<": lambda: f < val,
+            "<=": lambda: f <= val,
+            ">": lambda: f > val,
+            ">=": lambda: f >= val,
+            "in": lambda: f.isin(list(val)),
+        }[op]()
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+@ray.remote
+def _compact_bin(
+    abs_in: list[str], abs_out: str, stats_cols: tuple[str, ...]
+) -> tuple[int, int, dict]:
+    """One compaction bin: read N small files, write 1 target-size file.
+
+    Row-group size follows the file (one file ~= one block downstream);
+    zstd keeps the rewrite IO-bound rather than storage-bound.
+    """
+    tables = [pq.read_table(p) for p in abs_in]
+    merged = pa.concat_tables(tables, promote_options="permissive")
+    pq.write_table(merged, abs_out, compression="zstd", row_group_size=1 << 20)
+    return parquet_footer_stats(abs_out, stats_cols)
+
+
+def plan_bins(
+    files: list[DataFile], target_bytes: int, min_files_per_bin: int = 2
+) -> list[list[DataFile]]:
+    """First-fit-decreasing bin packing of undersized files into ~target bins."""
+    small = sorted(
+        (f for f in files if f.bytes < int(target_bytes * 0.8)),
+        key=lambda f: f.bytes,
+        reverse=True,
+    )
+    bins: list[tuple[int, list[DataFile]]] = []
+    for f in small:
+        for i, (used, members) in enumerate(bins):
+            if used + f.bytes <= target_bytes:
+                bins[i] = (used + f.bytes, members + [f])
+                break
+        else:
+            bins.append((f.bytes, [f]))
+    return [members for _, members in bins if len(members) >= min_files_per_bin]
+
+
+class _AntiJoinKeys:
+    """Actor-pool stage: drop rows whose key tuple is in the broadcast update
+    key set.  The sorted key array is fetched from the object store ONCE per
+    actor (``ray.put`` on the driver; zero-copy numpy view in each worker) —
+    never re-shipped per batch."""
+
+    SEP = "\x1f"
+
+    def __init__(self, keys_ref, key_cols: tuple[str, ...]):
+        self.keys = ray.get(keys_ref)  # sorted np.ndarray of joined key strings
+        self.key_cols = key_cols
+
+    @staticmethod
+    def join_keys(batch: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
+        parts = [batch[c].to_pandas().astype(str) for c in key_cols]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + _AntiJoinKeys.SEP + p
+        return out.to_numpy(dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.join_keys(batch, self.key_cols)
+        idx = np.searchsorted(self.keys, k)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        hit = self.keys[idx] == k if len(self.keys) else np.zeros(len(k), bool)
+        return batch.filter(pa.array(~hit))
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.store = ManifestStore(root)
+        self.data_dir = os.path.join(root, "data")
+        cfg_path = os.path.join(root, "table.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                self.config = json.load(f)
+        else:
+            self.config = {"stats_cols": list(DEFAULT_STATS_COLS)}
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def create(
+        cls, root: str, stats_cols: Iterable[str] = DEFAULT_STATS_COLS
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+        t = cls(root)
+        t.config = {"stats_cols": list(stats_cols)}
+        with open(os.path.join(root, "table.json"), "w") as f:
+            json.dump(t.config, f)
+        return t
+
+    @property
+    def stats_cols(self) -> tuple[str, ...]:
+        return tuple(self.config["stats_cols"])
+
+    def abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def schema(self) -> pa.Schema | None:
+        head = self.store.head()
+        if head is None or head.schema_json is None:
+            return None
+        return _schema_from_json(head.schema_json)
+
+    # ------------------------------------------------------------ write
+
+    def _new_commit_dir(self) -> tuple[str, str]:
+        rel = os.path.join("data", uuid.uuid4().hex[:12])
+        os.makedirs(self.abs(rel), exist_ok=True)
+        return rel, self.abs(rel)
+
+    def _register_dir(self, rel_dir: str) -> list[DataFile]:
+        """Footer-stat every parquet file under a freshly written dir."""
+        abs_dir = self.abs(rel_dir)
+        names = sorted(n for n in os.listdir(abs_dir) if n.endswith(".parquet"))
+        abs_paths = [os.path.join(abs_dir, n) for n in names]
+        stats = collect_stats(abs_paths, self.stats_cols)
+        return [
+            DataFile(path=os.path.join(rel_dir, n), rows=r, bytes=b, stats=s)
+            for n, (r, b, s) in zip(names, stats)
+        ]
+
+    def _write_dataset(
+        self,
+        data: "ray.data.Dataset | pa.Table | pd.DataFrame",
+        max_rows_per_file: int | None = None,
+        min_rows_per_file: int | None = None,
+    ) -> list[DataFile]:
+        rel_dir, abs_dir = self._new_commit_dir()
+        if isinstance(data, pd.DataFrame):
+            data = pa.Table.from_pandas(data, preserve_index=False)
+        if isinstance(data, pa.Table):
+            pq.write_table(
+                data, os.path.join(abs_dir, "part-0.parquet"), compression="zstd"
+            )
+        else:
+            kw: dict[str, Any] = {}
+            if max_rows_per_file:
+                kw["max_rows_per_file"] = max_rows_per_file
+            if min_rows_per_file:
+                kw["min_rows_per_file"] = min_rows_per_file
+            data.write_parquet(abs_dir, compression="zstd", **kw)
+        return self._register_dir(rel_dir)
+
+    def _file_schema(self, files: list[DataFile]) -> str | None:
+        if not files:
+            return None
+        return _schema_to_json(pq.read_schema(self.abs(files[0].path)))
+
+    def append(
+        self,
+        data,
+        run_ts: str = "1970-01-01T00:00:00",
+        operation: str = "append",
+        max_rows_per_file: int | None = None,
+    ) -> Snapshot:
+        added = self._write_dataset(data, max_rows_per_file=max_rows_per_file)
+        return self.store.commit(
+            added, [], operation, run_ts, schema_json=self._file_schema(added)
+        )
+
+    def overwrite(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
+        added = self._write_dataset(data)
+        removed = [f.path for f in self.store.files()]
+        return self.store.commit(
+            added, removed, "overwrite", run_ts, schema_json=self._file_schema(added)
+        )
+
+    # ------------------------------------------------------------ read
+
+    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        snap = self.store.head() if snapshot_id is None else self.store.snapshot(snapshot_id)
+        return self.store.files(snap) if snap else []
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        predicate: Predicate | None = None,
+        **read_kwargs,
+    ) -> "ray.data.Dataset":
+        """Snapshot-consistent scan: manifest prune -> pyarrow pushdown -> Dataset."""
+        files = prune_files(self.files(snapshot_id), predicate)
+        if not files:
+            schema = self.schema() or pa.schema([])
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            return ray.data.from_arrow(schema.empty_table())
+        return ray.data.read_parquet(
+            [self.abs(f.path) for f in files],
+            columns=columns,
+            filter=predicate_to_expr(predicate),
+            **read_kwargs,
+        )
+
+    def to_arrow(self, **kw) -> pa.Table:
+        """Whole table as one Arrow table — small tables / tests only."""
+        files = prune_files(self.files(kw.pop("snapshot_id", None)), kw.pop("predicate", None))
+        cols = kw.pop("columns", None)
+        if not files:
+            return (self.schema() or pa.schema([])).empty_table()
+        return pq.read_table([self.abs(f.path) for f in files], columns=cols)
+
+    # ------------------------------------------------------------ compaction
+
+    def compact(
+        self,
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        run_ts: str = "1970-01-01T00:00:00",
+        job_id: str | None = None,
+        min_files_per_bin: int = 2,
+    ) -> dict[str, Any]:
+        """Bin-packing compaction: every bin is an independent Ray task
+        (no shuffle — SURVEY.md §7.4), resumable per-bin via the ledger."""
+        files = self.files()
+        bins = plan_bins(files, target_file_bytes, min_files_per_bin)
+        if not bins:
+            return {"bins": 0, "files_in": 0, "files_out": 0}
+        job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op="compact", run_ts=run_ts)
+        rel_dir, abs_dir = os.path.join("data", f"compacted-{job_id}"), None
+        os.makedirs(self.abs(rel_dir), exist_ok=True)
+
+        added: list[DataFile] = []
+        removed: list[str] = []
+        pending = []
+        for i, members in enumerate(bins):
+            key = f"bin-{i:06d}"
+            out_rel = os.path.join(rel_dir, f"{key}.parquet")
+            in_paths = [m.path for m in members]
+            if ledger.is_completed(key) and os.path.exists(self.abs(out_rel)):
+                r, b, s = parquet_footer_stats(self.abs(out_rel), self.stats_cols)
+                added.append(DataFile(out_rel, r, b, stats=s))
+                removed.extend(in_paths)
+                continue
+            ledger.mark_running(key, in_paths)
+            ref = _compact_bin.remote(
+                [self.abs(p) for p in in_paths], self.abs(out_rel), self.stats_cols
+            )
+            pending.append((key, out_rel, in_paths, ref))
+
+        for key, out_rel, in_paths, ref in pending:
+            r, b, s = ray.get(ref)
+            added.append(DataFile(out_rel, r, b, stats=s))
+            removed.extend(in_paths)
+            ledger.mark_completed(
+                key, in_paths, [out_rel], {"rows": r, "bytes": b, "files_in": len(in_paths)}
+            )
+
+        self.store.commit(
+            added,
+            removed,
+            "compact",
+            run_ts,
+            summary={"bins": len(bins), "files_in": len(removed), "files_out": len(added)},
+        )
+        ledger.finish()
+        return {"bins": len(bins), "files_in": len(removed), "files_out": len(added)}
+
+    # ------------------------------------------------------------ clustering
+
+    def zorder(
+        self,
+        cols: Sequence[str],
+        curve: str = "zorder",
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        run_ts: str = "1970-01-01T00:00:00",
+        job_id: str | None = None,
+    ) -> dict[str, Any]:
+        """Rewrite the table clustered by a bit-interleaved (Z/Hilbert) key.
+
+        The sort is Ray Data's range-partitioning shuffle; each output file
+        then covers a narrow key range in *all* clustered dimensions, so the
+        manifest min/max stats prune multi-column predicates.
+        """
+        files = self.files()
+        if not files:
+            return {"files_in": 0, "files_out": 0}
+        total_rows = sum(f.rows for f in files)
+        total_bytes = sum(f.bytes for f in files)
+        rows_per_file = max(1, int(target_file_bytes / max(1, total_bytes / max(1, total_rows))))
+        keyfn = hilbert_key if curve == "hilbert" else zorder_key
+        cols = list(cols)
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            k = keyfn([batch[c] for c in cols])
+            return batch.append_column("__cluster_key", pa.array(k))
+
+        ds = (
+            self.scan()
+            .map_batches(add_key, batch_format="pyarrow")
+            .sort("__cluster_key")
+            .drop_columns(["__cluster_key"])
+        )
+        job_id = job_id or f"{curve}-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op=curve, run_ts=run_ts)
+        added = self._write_dataset(
+            ds, max_rows_per_file=rows_per_file, min_rows_per_file=max(1, rows_per_file // 2)
+        )
+        removed = [f.path for f in files]
+        ledger.mark_completed(
+            "rewrite", removed, [f.path for f in added], {"rows": total_rows}
+        )
+        self.store.commit(
+            added,
+            removed,
+            curve,
+            run_ts,
+            summary={"cluster_cols": cols, "files_out": len(added)},
+        )
+        ledger.finish()
+        return {"files_in": len(removed), "files_out": len(added)}
+
+    # ------------------------------------------------------------ stats rewrite
+
+    def rewrite_stats(
+        self, stats_cols: Iterable[str] | None = None, run_ts: str = "1970-01-01T00:00:00"
+    ) -> Snapshot:
+        """Manifest rewrite: recompute per-file min/max/null stats (footer-only
+        metadata scan, fanned out as Ray tasks) and commit a new snapshot whose
+        manifests carry them.  Data files are untouched."""
+        if stats_cols is not None:
+            self.config["stats_cols"] = list(stats_cols)
+            with open(os.path.join(self.root, "table.json"), "w") as f:
+                json.dump(self.config, f)
+        files = self.files()
+        stats = collect_stats([self.abs(f.path) for f in files], self.stats_cols)
+        refreshed = [
+            DataFile(f.path, r, b, partition=f.partition, stats=s)
+            for f, (r, b, s) in zip(files, stats)
+        ]
+        return self.store.commit(
+            refreshed,
+            [f.path for f in files],
+            "rewrite-stats",
+            run_ts,
+            summary={"stats_cols": list(self.stats_cols)},
+        )
+
+    # ------------------------------------------------------------ expiry / GC
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        return self.store.expire(keep_last)
+
+    def gc_orphans(self) -> list[str]:
+        """Delete data files unreachable from any live snapshot AND not
+        referenced by a running job's ledger (in-flight outputs stay)."""
+        reachable: set[str] = set()
+        for snap in self.store.snapshots():
+            reachable.update(f.path for f in self.store.files(snap))
+        reachable |= Ledger.active_output_files(self.root)
+        deleted: list[str] = []
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir):
+            for name in filenames:
+                abs_p = os.path.join(dirpath, name)
+                rel = os.path.relpath(abs_p, self.root)
+                if rel not in reachable:
+                    os.unlink(abs_p)
+                    deleted.append(rel)
+        # prune empty commit dirs
+        for dirpath, dirnames, filenames in list(os.walk(self.data_dir, topdown=False)):
+            if not dirnames and not filenames and dirpath != self.data_dir:
+                os.rmdir(dirpath)
+        return deleted
+
+    # ------------------------------------------------------------ MERGE INTO
+
+    def merge(
+        self,
+        updates: "ray.data.Dataset | pa.Table",
+        key: Sequence[str] = SOURCE_FILES_KEY,
+        run_ts: str = "1970-01-01T00:00:00",
+        job_id: str | None = None,
+        dedup_partitions: int = 64,
+    ) -> dict[str, Any]:
+        """MERGE INTO (upsert on ``key``): updates win on key collisions,
+        new keys insert, exact re-sends are idempotent no-ops.
+
+        Execution (copy-on-write, broadcast anti-join):
+
+        1. dedup updates on the key (hash-partitioned, ``exact_dedup``);
+        2. stream ONLY the key columns to the driver, build one sorted key
+           array, ``ray.put`` it (broadcast once, read per actor — the
+           "salted hash join" degenerate case where the build side fits in
+           the object store; hashing the full (repo,path,commit) triple is
+           what de-skews hot repos);
+        3. prune base files whose first-key-column min/max range cannot
+           contain any update key (manifest stats — only *affected* files
+           are rewritten);
+        4. anti-join affected files against the key set (actor pool), union
+           with the updates, rewrite, and commit removed=affected+added=new.
+        """
+        key = tuple(key)
+        if isinstance(updates, pa.Table):
+            updates = ray.data.from_arrow(updates)
+        updates = exact_dedup(updates, key, num_partitions=dedup_partitions)
+
+        # --- collect update keys (key columns only; content never moves)
+        key_parts: list[np.ndarray] = []
+        first_col_vals: list[np.ndarray] = []
+        n_updates = 0
+        for batch in updates.select_columns(list(key)).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            k = _AntiJoinKeys.join_keys(batch, key)
+            key_parts.append(k)
+            first_col_vals.append(np.asarray(batch[key[0]].to_pandas(), dtype=object))
+            n_updates += len(k)
+        if n_updates == 0:
+            return {"updates": 0, "affected_files": 0}
+        keys_sorted = np.sort(np.concatenate(key_parts))
+        keys_ref = ray.put(keys_sorted)
+        upd_first = np.unique(np.concatenate(first_col_vals))
+
+        # --- prune base files via first-key-column stats
+        base_files = self.files()
+        affected: list[DataFile] = []
+        for f in base_files:
+            st = f.stats.get(key[0])
+            if st is None or st.get("min") is None or st.get("max") is None:
+                affected.append(f)
+                continue
+            lo, hi = st["min"], st["max"]
+            i = np.searchsorted(upd_first, lo)
+            if i < len(upd_first) and upd_first[i] <= hi:
+                affected.append(f)
+
+        job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op="merge", run_ts=run_ts)
+        ledger.mark_running("merge", [f.path for f in affected])
+
+        schema = self.schema()
+        if schema is not None:
+            # the dedup stage round-trips through pandas, which downgrades
+            # large_string -> string; restore the table schema before the
+            # union (large_string guards 2 GiB Arrow offsets on wide content)
+            def cast_to_table_schema(batch: pa.Table) -> pa.Table:
+                return batch.select(schema.names).cast(schema)
+
+            updates = updates.map_batches(cast_to_table_schema, batch_format="pyarrow")
+        if affected:
+            survivors = ray.data.read_parquet(
+                [self.abs(f.path) for f in affected]
+            ).map_batches(
+                _AntiJoinKeys,
+                fn_constructor_args=(keys_ref, key),
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            )
+            if schema is not None:
+                survivors = survivors.select_columns(schema.names)
+            result = survivors.union(updates)
+        else:
+            result = updates
+
+        added = self._write_dataset(result)
+        removed = [f.path for f in affected]
+        ledger.mark_completed(
+            "merge",
+            removed,
+            [f.path for f in added],
+            {"updates": n_updates, "affected_files": len(affected)},
+        )
+        self.store.commit(
+            added,
+            removed,
+            "merge",
+            run_ts,
+            schema_json=self._file_schema(added),
+            summary={"updates": n_updates, "affected_files": len(affected)},
+        )
+        ledger.finish()
+        return {
+            "updates": n_updates,
+            "affected_files": len(affected),
+            "files_out": len(added),
+        }
+
+    # ------------------------------------------------------------ verification
+
+    def content_fingerprint(self, cols: Sequence[str], snapshot_id: int | None = None) -> str:
+        """Order-insensitive fingerprint of the table = sha256 over the sorted
+        per-row hashes of ``cols``.  Maintenance ops must keep it invariant."""
+        import hashlib
+
+        from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+
+        hashes: list[np.ndarray] = []
+        for batch in self.scan(snapshot_id=snapshot_id, columns=list(cols)).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            hashes.append(hash_batch_cols(batch, tuple(cols)))
+        if not hashes:
+            return hashlib.sha256(b"").hexdigest()
+        allh = np.sort(np.concatenate(hashes))
+        return hashlib.sha256(allh.tobytes()).hexdigest()

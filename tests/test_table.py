@@ -1,0 +1,210 @@
+"""LakeTable end-to-end: append/scan/prune + the five maintenance ops.
+
+The cross-cutting invariant (BASELINE.json): maintenance never changes the
+row multiset — verified via the order-insensitive content fingerprint over
+(repo, path, commit, lang, content).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from aws_medallion_datalake_ray.functions.hashing import sha256_col
+from aws_medallion_datalake_ray.sources.fixtures import make_source_files, make_updates
+from aws_medallion_datalake_ray.state.ledger import Ledger
+from aws_medallion_datalake_ray.state.table import LakeTable, plan_bins
+from aws_medallion_datalake_ray.state.manifest import DataFile
+
+TS = "2024-01-01T00:00:00"
+FP_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+@pytest.fixture()
+def table(tmp_path, source_files_small):
+    t = LakeTable.create(str(tmp_path / "tbl"))
+    # append in small chunks -> many small files (compaction fodder)
+    for i in range(0, len(source_files_small), 500):
+        t.append(source_files_small.slice(i, 500), run_ts=TS)
+    return t
+
+
+def test_append_scan_roundtrip(table, source_files_small):
+    out = table.to_arrow()
+    assert out.num_rows == len(source_files_small)
+    assert set(out.column_names) == set(FP_COLS)
+    ds = table.scan(columns=["repo", "lang"])
+    assert ds.count() == len(source_files_small)
+
+
+def test_scan_predicate_prunes_files(table):
+    all_files = table.files()
+    langs = table.to_arrow(columns=["lang"])["lang"].to_pylist()
+    # pick a lang present in the data
+    lang = langs[0]
+    pruned = table.scan(predicate=[("lang", "==", "zz-nonexistent")])
+    assert pruned.count() == 0
+    got = table.scan(predicate=[("lang", "==", lang)]).count()
+    assert got == sum(1 for x in langs if x == lang)
+
+
+def test_compact_preserves_content_and_reduces_files(table):
+    fp_before = table.content_fingerprint(FP_COLS)
+    n_before = len(table.files())
+    res = table.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
+    assert res["files_out"] < res["files_in"]
+    assert len(table.files()) < n_before
+    assert table.content_fingerprint(FP_COLS) == fp_before
+
+
+def test_compact_is_resumable(table):
+    """Simulate a crash: ledger has one completed bin, output file on disk.
+    Resuming with the same job_id must reuse it and not redo the work."""
+    files = table.files()
+    bins = plan_bins(files, 4 * 1024 * 1024)
+    assert bins
+    job_id = "compact-resume-test"
+    # pre-complete bin 0 manually (as if the previous run died after it)
+    rel_dir = os.path.join("data", f"compacted-{job_id}")
+    os.makedirs(table.abs(rel_dir), exist_ok=True)
+    out_rel = os.path.join(rel_dir, "bin-000000.parquet")
+    merged = pa.concat_tables([pq.read_table(table.abs(m.path)) for m in bins[0]])
+    pq.write_table(merged, table.abs(out_rel), compression="zstd")
+    led = Ledger(table.root, job_id, op="compact", run_ts=TS)
+    led.mark_completed("bin-000000", [m.path for m in bins[0]], [out_rel], {})
+
+    fp_before = table.content_fingerprint(FP_COLS)
+    res = table.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS, job_id=job_id)
+    assert res["bins"] == len(bins)
+    assert table.content_fingerprint(FP_COLS) == fp_before
+    led2 = Ledger(table.root, job_id)
+    assert led2.state["status"] == "completed"
+    # lineage recorded for every bin
+    assert len(led2.completed_tasks()) == len(bins)
+
+
+def test_zorder_preserves_content_and_clusters(table):
+    fp_before = table.content_fingerprint(FP_COLS)
+    table.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
+    res = table.zorder(["repo", "lang", "path"], target_file_bytes=256 * 1024, run_ts=TS)
+    assert res["files_out"] >= 1
+    assert table.content_fingerprint(FP_COLS) == fp_before
+    # clustering quality: per-file repo min/max ranges should rarely overlap
+    files = table.files()
+    bounds = sorted(
+        (f.stats["repo"]["min"], f.stats["repo"]["max"])
+        for f in files
+        if f.stats.get("repo", {}).get("min") is not None
+    )
+    overlaps = sum(1 for (a, b) in zip(bounds, bounds[1:]) if a[1] > b[0])
+    assert overlaps <= max(1, len(bounds) // 3)
+
+
+def test_hilbert_curve_variant(table):
+    fp = table.content_fingerprint(FP_COLS)
+    table.zorder(["repo", "lang"], curve="hilbert", target_file_bytes=512 * 1024, run_ts=TS)
+    assert table.content_fingerprint(FP_COLS) == fp
+
+
+def test_rewrite_stats_adds_bounds(table):
+    snap = table.rewrite_stats(run_ts=TS)
+    files = table.files()
+    assert all("repo" in f.stats for f in files)
+    assert snap.operation == "rewrite-stats"
+    # data untouched
+    assert all(os.path.exists(table.abs(f.path)) for f in files)
+
+
+def test_expire_and_gc_orphans(table):
+    fp = table.content_fingerprint(FP_COLS)
+    table.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
+    n_data_files_before_gc = sum(len(fs) for _, _, fs in os.walk(table.data_dir))
+    table.expire_snapshots(keep_last=1)
+    deleted = table.gc_orphans()
+    assert deleted  # the pre-compaction small files are gone
+    assert table.content_fingerprint(FP_COLS) == fp
+    n_after = sum(len(fs) for _, _, fs in os.walk(table.data_dir))
+    assert n_after < n_data_files_before_gc
+    # live files all still present
+    assert all(os.path.exists(table.abs(f.path)) for f in table.files())
+
+
+def test_gc_protects_inflight_ledger_outputs(table):
+    """Files written by a running job (ledger not finished) must survive GC."""
+    rel = "data/inflight/part-x.parquet"
+    os.makedirs(table.abs("data/inflight"), exist_ok=True)
+    pq.write_table(pa.table({"a": [1]}), table.abs(rel))
+    led = Ledger(table.root, "job-inflight", op="merge", run_ts=TS)
+    led.mark_completed("p0", [], [rel], {})
+    # job still "running" -> protected
+    deleted = table.gc_orphans()
+    assert rel not in deleted and os.path.exists(table.abs(rel))
+    led.finish()
+    deleted = table.gc_orphans()
+    assert rel in deleted
+
+
+def test_snapshot_isolation_reader_pinned(table):
+    """A reader pinned to snapshot S sees identical bytes across concurrent
+    maintenance (serializable snapshot isolation)."""
+    sid = table.store.head_id()
+    fp_pinned_before = table.content_fingerprint(FP_COLS, snapshot_id=sid)
+    table.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
+    table.append(make_source_files(100, seed=7), run_ts=TS)  # table moves on
+    fp_pinned_after = table.content_fingerprint(FP_COLS, snapshot_id=sid)
+    assert fp_pinned_before == fp_pinned_after
+
+
+# ---------------------------------------------------------------- MERGE
+
+
+def _expected_merge(base: pa.Table, upd: pa.Table) -> set:
+    key = lambda r: (r["repo"], r["path"], r["commit"])
+    rows = {key(r): r["content"] for r in base.to_pylist()}
+    for r in upd.to_pylist():
+        rows[key(r)] = r["content"]
+    return {(k[0], k[1], k[2], v) for k, v in rows.items()}
+
+
+def test_merge_upsert_semantics(table, source_files_small):
+    upd = make_updates(source_files_small, 400, seed=43)
+    res = table.merge(upd, run_ts=TS)
+    assert res["updates"] > 0
+    got = table.to_arrow(columns=["repo", "path", "commit", "content"])
+    got_set = {
+        (r["repo"], r["path"], r["commit"], r["content"]) for r in got.to_pylist()
+    }
+    assert got_set == _expected_merge(source_files_small, upd)
+    # no duplicate keys survived
+    assert len(got_set) == got.num_rows
+
+
+def test_merge_idempotent(table, source_files_small):
+    upd = make_updates(source_files_small, 300, seed=44)
+    table.merge(upd, run_ts=TS)
+    fp1 = table.content_fingerprint(FP_COLS)
+    table.merge(upd, run_ts=TS)  # merging the same batch twice == once
+    assert table.content_fingerprint(FP_COLS) == fp1
+
+
+def test_merge_only_rewrites_affected_files(table, source_files_small):
+    """Stats pruning: an update touching one repo must not rewrite files whose
+    repo range can't contain it."""
+    # cluster by repo so per-file repo ranges are narrow
+    table.compact(target_file_bytes=2 * 1024 * 1024, run_ts=TS)
+    table.zorder(["repo"], target_file_bytes=64 * 1024, run_ts=TS)
+    n_files = len(table.files())
+    one = source_files_small.slice(0, 1).to_pylist()[0]
+    upd = pa.table(
+        {
+            "repo": [one["repo"]],
+            "path": [one["path"]],
+            "commit": ["f" * 40],
+            "lang": [one["lang"]],
+            "content": pa.array(["// new\n"], pa.large_string()),
+        }
+    )
+    res = table.merge(upd, run_ts=TS)
+    assert res["affected_files"] < n_files
