@@ -1,44 +1,57 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data lakehouse engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship medallion + maintenance pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2) —
+SQL-expressible ones paired with a DuckDB oracle in ``oracle_sql()``,
+maintenance / near-dup / heuristic ops as rows-only demos.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: ingest the documents table
+    shape into the engine's medallion + run a maintenance cycle on the
+    canonical source_files fixture, returning the post-maintenance gold
+    lang_summary (stable schema, >=1 row)."""
+    from aws_medallion_datalake_ray.pipelines.medallion import run_medallion
+    from aws_medallion_datalake_ray.sources.fixtures import make_source_files, make_updates
+
+    base = make_source_files(4000, seed=42)
+    root = os.path.join(tempfile.gettempdir(), "amdl-entry")
+    shutil.rmtree(root, ignore_errors=True)
+    tables = run_medallion(base, root, run_ts="2024-01-01T00:00:00")
+
+    silver = tables["silver"]
+    silver.compact(target_file_bytes=8 * 1024 * 1024, run_ts="2024-01-01T00:00:01")
+    silver.zorder(["repo", "lang", "path"], target_file_bytes=1024 * 1024,
+                  run_ts="2024-01-01T00:00:02")
+    upd = make_updates(base, 400, seed=7)
+    from aws_medallion_datalake_ray.pipelines.medallion import silver_clean_batch
+
+    silver.merge(silver_clean_batch(upd), run_ts="2024-01-01T00:00:03")
+    silver.expire_snapshots(keep_last=2)
+    silver.gc_orphans()
+    return tables["lang_summary"].scan()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aws_medallion_datalake_ray.pipelines.demos import DEMO_QUERIES
+    from aws_medallion_datalake_ray.pipelines.queries import SQL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**SQL_QUERIES, **DEMO_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from aws_medallion_datalake_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

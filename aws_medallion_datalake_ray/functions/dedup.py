@@ -47,15 +47,19 @@ def exact_dedup(ds: Dataset, key_cols, num_partitions: int = 64) -> Dataset:
     return out.drop_columns([_PART])
 
 
-def keep_latest(ds: Dataset, key_cols, order_col: str, num_partitions: int = 64) -> Dataset:
-    """Keep the row with the max ``order_col`` per key tuple (keep-latest dedup,
-    the engine's generalization of the reference's weekly master-data
-    overwrite, ``bronze_digit_master_weekly.py:108-110``)."""
+def keep_latest(
+    ds: Dataset, key_cols, order_col, num_partitions: int = 64, keep: str = "last"
+) -> Dataset:
+    """Keep the row with the max (``keep="last"``) or min (``"first"``)
+    ``order_col`` (one or more columns) per key tuple — keep-latest dedup, the
+    engine's generalization of the reference's weekly master-data overwrite
+    (``bronze_digit_master_weekly.py:108-110``)."""
     key_cols = tuple(key_cols)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def latest_group(df):
-        df = df.sort_values(order_col, kind="stable")
-        return df.drop_duplicates(list(key_cols), keep="last")
+        df = df.sort_values(order_cols, kind="stable")
+        return df.drop_duplicates(list(key_cols), keep=keep)
 
     out = (
         ds.map_batches(_add_part(key_cols, num_partitions), batch_format="pyarrow")
@@ -63,3 +67,162 @@ def keep_latest(ds: Dataset, key_cols, order_col: str, num_partitions: int = 64)
         .map_groups(latest_group, batch_format="pandas")
     )
     return out.drop_columns([_PART])
+
+
+# ====================================================================== near-dup
+#
+# MinHash+LSH / SimHash / n-gram Jaccard — none exist in the reference
+# (SURVEY.md §2.7: "No near-dedup"); they are first-class training-data ops
+# here.  Pipeline shape (ray_guide): shingle+minhash per batch (stateful
+# hasher actor) -> explode to (band, band_hash, doc) rows -> groupby bands ->
+# candidate pairs -> exact-Jaccard verify on the (small) candidate set.
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from aws_medallion_datalake_ray.functions.hashing import hash_col  # noqa: E402
+
+_MERSENNE = (1 << 61) - 1
+
+
+def shingle_set(text: str, k: int = 5) -> np.ndarray:
+    """Stable uint64 hashes of k-token shingles (crc32-seeded, process-stable)."""
+    from zlib import crc32
+
+    toks = text.split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    return np.unique(
+        np.array(
+            [crc32(" ".join(toks[i : i + k]).encode()) for i in range(len(toks) - k + 1)],
+            dtype=np.uint64,
+        )
+    )
+
+
+class MinHasher:
+    """Actor-pool stage state: H seeded permutations ``(a*x+b) % p``."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        x = shingle_set(text, self.k)
+        with np.errstate(over="ignore"):
+            m = (x[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return m.min(axis=1)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = shingle_set(text_a, k), shingle_set(text_b, k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Character n-gram Jaccard (order-insensitive near-dup measure)."""
+    ga = {text_a[i : i + n] for i in range(max(1, len(text_a) - n + 1))}
+    gb = {text_b[i : i + n] for i in range(max(1, len(text_b) - n + 1))}
+    union = len(ga | gb)
+    return len(ga & gb) / union if union else 1.0
+
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash per document (stable token hashes, vectorized bit sums)."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, s in enumerate(texts.fillna("")):
+        toks = s.split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = hash_col(np.array(toks, dtype=object))
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def minhash_near_dups(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> pa.Table:
+    """MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) for
+    verified pairs with Jaccard >= threshold.
+
+    Scale notes: the signature stage is an actor pool (hasher built once per
+    actor); banding explodes to (band, band_hash, id) and the candidate
+    groupby shuffles only those tiny rows, never the texts.  Verification
+    re-reads just the candidate docs (semi-join via broadcast id set).
+    """
+    rows_per_band = num_perm // bands
+
+    class Bander(MinHasher):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, bnd, bh = [], [], []
+            for doc, text in zip(batch[id_col], batch[text_col]):
+                sig = self.signature(str(text))
+                for b in range(bands):
+                    band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    ids.append(doc)
+                    bnd.append(b)
+                    bh.append(int(np.bitwise_xor.reduce(band) % np.uint64(_MERSENNE)))
+            return pd.DataFrame({id_col: ids, "band": bnd, "band_hash": bh})
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        Bander,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pa.table({"id_a": [], "id_b": [], "jaccard": []})
+
+    # verify: fetch only candidate docs' texts (semi-join on id set)
+    need = set(cand["id_a"]) | set(cand["id_b"])
+    texts: dict = {}
+    for b in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_size=4096, batch_format="pandas"
+    ):
+        hitmask = b[id_col].isin(need)
+        for i, t in zip(b.loc[hitmask, id_col], b.loc[hitmask, text_col]):
+            texts[i] = str(t)
+    sims = [
+        jaccard(texts[x], texts[y], shingle_k) for x, y in zip(cand["id_a"], cand["id_b"])
+    ]
+    out = cand.assign(jaccard=sims)
+    out = out[out["jaccard"] >= threshold].sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

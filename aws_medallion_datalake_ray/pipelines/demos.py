@@ -1,0 +1,266 @@
+"""Non-SQL-expressible operator pipelines for the driver's ``queries()``.
+
+These cover the engine surface DuckDB can't oracle over the registered views:
+table maintenance on the canonical source_files fixture (merge / compact /
+zorder / snapshot time travel), near-dup dedup, heuristic text ops,
+similarity search variants, and the multimodal stub stage.  The driver runs a
+rows-only check on them; pytest covers their semantics separately.
+
+Each takes ``sf_dir`` (used to scale the fixture + read documents/embeddings)
+and returns a small, deterministic DataFrame.  Fixture LakeTables are built
+once per process under /tmp and memoized.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from aws_medallion_datalake_ray.functions.dedup import minhash_near_dups, simhash64
+from aws_medallion_datalake_ray.functions.embeddings import ann_lsh, cosine_topk
+from aws_medallion_datalake_ray.functions.text import TextAnalyzer
+from aws_medallion_datalake_ray.sources.fixtures import make_source_files, make_updates
+from aws_medallion_datalake_ray.state.table import LakeTable
+
+FP_COLS = ("repo", "path", "commit", "lang", "content")
+_TS = "2024-01-01T00:00:00"
+_memo: dict = {}
+
+
+def _fixture_rows(sf_dir: str) -> int:
+    # scale the maintenance demos with the sf tier (sf0.001 -> 4k, 0.01 -> 8k)
+    return 8000 if "0.01" in sf_dir or "0.1" in sf_dir else 4000
+
+
+def _demo_base(sf_dir: str) -> pa.Table:
+    n = _fixture_rows(sf_dir)
+    key = ("base", n)
+    if key not in _memo:
+        _memo[key] = make_source_files(n, seed=42)
+    return _memo[key]
+
+
+def _fresh_table(sf_dir: str, tag: str) -> tuple[LakeTable, pa.Table]:
+    base = _demo_base(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"amdl-demo-{tag}-{len(base)}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(root)
+    for i in range(0, len(base), 1000):
+        t.append(base.slice(i, 1000), run_ts=_TS)
+    return t, base
+
+
+# ---------------------------------------------------------------- maintenance
+
+
+def demo_merge_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO on (repo, path, commit): runs the salted-hash upsert twice
+    (idempotence) and reports per-lang row counts + invariance checks."""
+    t, base = _fresh_table(sf_dir, "merge")
+    upd = make_updates(base, max(200, len(base) // 10), seed=99)
+    r1 = t.merge(upd, run_ts=_TS)
+    fp1 = t.content_fingerprint(FP_COLS)
+    t.merge(upd, run_ts=_TS)  # idempotent re-send
+    fp2 = t.content_fingerprint(FP_COLS)
+    counts = (
+        t.to_arrow(columns=["lang"]).to_pandas().value_counts("lang").sort_index()
+    )
+    out = counts.rename("n_rows").reset_index()
+    out["updates_applied"] = r1["updates"]
+    out["affected_files"] = r1["affected_files"]
+    out["idempotent"] = fp1 == fp2
+    return out
+
+
+def demo_compact_zorder(sf_dir: str) -> pd.DataFrame:
+    """Compaction + Z-order clustering with the sha256-multiset invariant."""
+    t, _ = _fresh_table(sf_dir, "compact")
+    fp0 = t.content_fingerprint(FP_COLS)
+    c = t.compact(target_file_bytes=8 * 1024 * 1024, run_ts=_TS)
+    z = t.zorder(["repo", "lang", "path"], target_file_bytes=1024 * 1024, run_ts=_TS)
+    fp1 = t.content_fingerprint(FP_COLS)
+    files = t.files()
+    return pd.DataFrame(
+        [
+            {
+                "files_before": c["files_in"],
+                "files_after_compact": c["files_out"],
+                "files_after_zorder": z["files_out"],
+                "rows": sum(f.rows for f in files),
+                "content_invariant": fp0 == fp1,
+            }
+        ]
+    )
+
+
+def demo_snapshot_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Snapshot isolation: expiry + GC while a pinned snapshot stays readable."""
+    t, base = _fresh_table(sf_dir, "snap")
+    sid = t.store.head_id()
+    n_pinned = t.scan(snapshot_id=sid).count()
+    t.append(base.slice(0, 500), run_ts=_TS)
+    t.compact(target_file_bytes=8 * 1024 * 1024, run_ts=_TS)
+    n_head = t.scan().count()
+    n_pinned_after = t.scan(snapshot_id=sid).count()
+    expired = t.expire_snapshots(keep_last=2)
+    deleted = t.gc_orphans()
+    return pd.DataFrame(
+        [
+            {
+                "rows_pinned": n_pinned,
+                "rows_head": n_head,
+                "pinned_stable": n_pinned == n_pinned_after,
+                "snapshots_expired": len(expired),
+                "orphans_deleted": len(deleted),
+            }
+        ]
+    )
+
+
+def demo_medallion(sf_dir: str) -> pd.DataFrame:
+    """Bronze→silver→gold promotion over source_files; returns the gold
+    lang_summary (counts deterministic; float avg dropped)."""
+    from aws_medallion_datalake_ray.pipelines.medallion import run_medallion
+
+    base = _demo_base(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"amdl-demo-medallion-{len(base)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tables = run_medallion(base, root, run_ts=_TS)
+    out = tables["lang_summary"].to_arrow().to_pandas()
+    return out[["lang", "n_files", "total_bytes"]].sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- dedup / text
+
+
+def demo_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup over documents + planted near-duplicates (the raw
+    corpus has none) — reports pair counts."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # plant near-dups: copy 5 docs with a tiny suffix edit
+    extra = docs.slice(0, 5).to_pandas()
+    extra["doc_id"] = extra["doc_id"] + 1_000_000
+    extra["text"] = extra["text"] + " extra token"
+    planted = pa.concat_tables(
+        [docs, pa.Table.from_pandas(extra, preserve_index=False)]
+    )
+    pairs = minhash_near_dups(
+        ray.data.from_arrow(planted), threshold=0.5, num_perm=64, bands=16
+    )
+    found_planted = sum(
+        1 for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())
+        if b - a == 1_000_000
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": len(planted),
+                "n_pairs": pairs.num_rows,
+                "planted_found": found_planted,
+                "planted_total": 5,
+            }
+        ]
+    )
+
+
+def demo_simhash(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per doc; near-dup buckets by 8-bit prefix."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        h = simhash64(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "simhash": [f"{x:016x}" for x in h]}
+        )
+
+    out = ds.map_batches(sh, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        [{"n_docs": len(out), "n_distinct_hashes": out["simhash"].nunique()}]
+    )
+
+
+def demo_text_analysis(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool text stage: lang-ID accuracy + quality score stats per lang."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    scored = ds.map_batches(TextAnalyzer, batch_format="pandas", concurrency=(1, 4))
+    df = scored.to_pandas()
+    df["langid_ok"] = (df["lang"] == df["lang_pred"]).astype(int)
+    g = df.groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "size"),
+        n_langid_correct=("langid_ok", "sum"),
+        mean_quality=("quality_score", "mean"),
+    )
+    g["mean_quality"] = g["mean_quality"].round(3)
+    return g.sort_values("lang").reset_index(drop=True)
+
+
+def demo_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprints (robust to whitespace edits)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        an = TextAnalyzer()
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": an.fingerprint(df["text"])})
+
+    out = ds.map_batches(fp, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- embeddings / multimodal
+
+
+def demo_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN vs brute force: recall@10 of the scale path."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = emb.filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"].to_pylist()[0]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = cosine_topk(ds, np.asarray(q), k=10)
+    approx = ann_lsh(ds, np.asarray(q), dim=len(q), k=10, n_planes=4, n_probe_bits=2)
+    exact_ids = set(exact["vec_id"])
+    got = set(approx["vec_id"])
+    return pd.DataFrame(
+        [
+            {
+                "k": 10,
+                "exact_found": len(exact_ids),
+                "lsh_candidates": len(got),
+                "recall_at_10": round(len(exact_ids & got) / max(1, len(exact_ids)), 3),
+            }
+        ]
+    )
+
+
+def demo_multimodal(sf_dir: str) -> pd.DataFrame:
+    """Binary-payload actor-pool featurize (decode stubbed, plumbing real)."""
+    from aws_medallion_datalake_ray.stages.multimodal import featurize_media, make_media_table
+
+    n = 500 if "0.001" in sf_dir else 2000
+    media = make_media_table(n, seed=42)
+    out = featurize_media(ray.data.from_arrow(media), batch_size=64).to_pandas()
+    g = out.groupby("kind", as_index=False).agg(
+        n_items=("media_id", "size"), total_payload_bytes=("payload_bytes", "sum")
+    )
+    g["feature_dim"] = out["feature"].iloc[0].__len__()
+    return g.sort_values("kind").reset_index(drop=True)
+
+
+DEMO_QUERIES = {
+    "m01_merge_upsert": demo_merge_upsert,
+    "m02_compact_zorder": demo_compact_zorder,
+    "m03_snapshot_time_travel": demo_snapshot_time_travel,
+    "m04_medallion_gold": demo_medallion,
+    "t01_minhash_near_dups": demo_minhash_near_dups,
+    "t02_simhash": demo_simhash,
+    "t03_text_analysis": demo_text_analysis,
+    "t04_fingerprints": demo_fingerprints,
+    "e01_ann_lsh": demo_ann_lsh,
+    "e02_multimodal_featurize": demo_multimodal,
+}

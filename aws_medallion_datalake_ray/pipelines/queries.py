@@ -1,0 +1,668 @@
+"""The relational/operator query suite over the driver testdata tables.
+
+Each ``q*`` function takes ``sf_dir`` and returns a small pandas DataFrame /
+pyarrow Table; ``ORACLE_SQL`` holds the column-name-matched DuckDB oracle for
+every SQL-expressible query.  Together they form the driver's correctness
+gate (``__ray_entry__.queries`` / ``oracle_sql``) and map 1:1 onto the
+operator inventory in SURVEY.md §2 (the per-query docstring names the row).
+
+Conventions for exact value-hash parity with DuckDB:
+- every float produced by arithmetic is ``round``-ed (2 for money sums, 4 for
+  averages/percentages) in BOTH implementations;
+- every LIMIT/top-k has a unique tie-break column in BOTH;
+- column names match the SQL aliases exactly.
+
+Ray-Data-first patterns exercised: column-pruned + predicate-pushdown reads,
+partial (combiner) aggregation inside map_batches before every groupby,
+broadcast hash joins for small dims, ``Dataset.join`` for large-large,
+range-shuffle sort for top-k, hash-partitioned dedup, actor-pool stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from aws_medallion_datalake_ray.functions import cleaning as cl
+from aws_medallion_datalake_ray.functions.dedup import keep_latest
+from aws_medallion_datalake_ray.functions.hashing import sha256_col
+
+
+def _read(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
+
+# ---------------------------------------------------------------- q01
+
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape (SURVEY A3/A4): filtered grouped multi-aggregate with
+    partial aggregation inside map_batches before the small groupby."""
+    import datetime as dt
+
+    cutoff = dt.datetime(1998, 9, 2)
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= cutoff),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # money sums in integer cents / 1e-4 units: float sums of ~1e7
+        # magnitude differ by summation order at the cent level, so both this
+        # and the oracle SQL accumulate exact integers and divide at the end
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "base_c": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64()),
+                "disc_c": pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+             ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="s_qty"),
+            Sum("p_base", alias_name="s_base"),
+            Sum("p_disc", alias_name="s_disc"),
+            Sum("p_n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["s_qty"].round(2),
+            "sum_base_price": (out["s_base"] / 100.0).round(2),
+            # integer half-up to cents: float round() at exact half-cent
+            # boundaries differs between numpy (half-even) and DuckDB (half-up)
+            "sum_disc_price": ((out["s_disc"] + 50) // 100) / 100.0,
+            "avg_qty": (out["s_qty"] / out["n"]).round(4),
+            "count_order": out["n"].astype("int64"),
+        }
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q02
+
+
+def q02_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join (SURVEY J1): small dim (customer) shipped once via
+    ray.put, looked up inside map_batches; big side (orders) pre-aggregated."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    class JoinAgg:
+        def __init__(self, ref):
+            self.names = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+            )
+            g = (
+                pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+                .group_by("o_custkey")
+                .aggregate([("cents", "sum"), ("cents", "count")])
+            )
+            g = g.rename_columns(["c_custkey", "p_spent", "p_n"])
+            names = [self.names.get(k) for k in g["c_custkey"].to_pylist()]
+            return g.append_column("c_name", pa.array(names, pa.string()))
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(JoinAgg, fn_constructor_args=(name_ref,), batch_format="pyarrow",
+                     concurrency=(1, 4))
+        .groupby(["c_custkey", "c_name"])
+        .aggregate(Sum("p_spent", alias_name="spent"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total_spent"] = (out["spent"] / 100.0).round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out.sort_values(["total_spent", "c_custkey"], ascending=[False, True]).head(10)
+    return out[["c_custkey", "c_name", "total_spent", "n_orders"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q03
+
+
+def q03_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash join via Dataset.join (SURVEY J1 large case) +
+    grouped revenue + range-shuffle top-k."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "O"),
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev_e4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64())
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": rev_e4})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "p_rev"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_rev", alias_name="rev"))
+        .to_pandas()
+    )
+    agg["revenue"] = ((agg["rev"] + 50) // 100) / 100.0  # integer half-up to cents
+    agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return agg[["l_orderkey", "revenue"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q04
+
+
+def q04_global_metrics(sf_dir: str) -> pd.DataFrame:
+    """Global multi-metric aggregate (SURVEY A1/A2)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_shipdate"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            1, "l_extendedprice",
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64()),
+        )
+
+    r = ds.map_batches(cents, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="s_qty"),
+        Sum("l_extendedprice", alias_name="s_price_c"),
+        Min("l_shipdate", alias_name="min_shipdate"),
+        Max("l_shipdate", alias_name="max_shipdate"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": int(r["n_rows"]),
+                "sum_qty": round(r["s_qty"], 2),
+                "avg_price": round(r["s_price_c"] / 100.0 / r["n_rows"], 4),
+                "min_shipdate": r["min_shipdate"],
+                "max_shipdate": r["max_shipdate"],
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------- q05-q07
+
+
+def q05_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Distinct single column via ds.unique (SURVEY D2)."""
+    vals = sorted(_read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+def q06_count_distinct_customers(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) (SURVEY A1): two-phase distinct-then-count."""
+    n = len(_read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey"))
+    return pd.DataFrame({"n_customers": [n]})
+
+
+def q07_acctbal_buckets(sf_dir: str) -> pd.DataFrame:
+    """CASE-WHEN bucketing (SURVEY M16) + grouped count."""
+    ds = _read(sf_dir, "customer", columns=["c_acctbal"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = cl.case_bucket(t["c_acctbal"], [0.0, 5000.0], ["negative", "low", "high"])
+        return pa.table({"bucket": b})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q08-q10
+
+
+def q08_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Date-part extraction (SURVEY M17 / dim_tempo) + grouped agg."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "ano": pc.year(t["o_orderdate"]),
+                    "mes": pc.month(t["o_orderdate"]),
+                    "cents": pc.cast(
+                        pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["ano", "mes"])
+            .aggregate([("cents", "count"), ("cents", "sum")])
+        )
+        return g.rename_columns(["ano", "mes", "p_n", "p_sum"])
+
+    out = (
+        ds.map_batches(parts, batch_format="pyarrow")
+        .groupby(["ano", "mes"])
+        .aggregate(Sum("p_n", alias_name="n_orders"), Sum("p_sum", alias_name="s"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total"] = (out["s"] / 100.0).round(2)
+    return out[["ano", "mes", "n_orders", "total"]].sort_values(["ano", "mes"]).reset_index(
+        drop=True
+    )
+
+
+def q09_union_counts(sf_dir: str) -> pd.DataFrame:
+    """UNION ALL of aggregate rows (SURVEY A8/D4)."""
+    a = ray.data.from_arrow(
+        pa.table({"table_name": ["region"], "n_rows": [_read(sf_dir, "region").count()]})
+    )
+    b = ray.data.from_arrow(
+        pa.table({"table_name": ["nation"], "n_rows": [_read(sf_dir, "nation").count()]})
+    )
+    return a.union(b).to_pandas().sort_values("table_name").reset_index(drop=True)
+
+
+def q10_event_type_pct(sf_dir: str) -> pd.DataFrame:
+    """Percentage-of-total (SURVEY A7): global agg broadcast into the result."""
+    out = (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    total = int(out["n"].sum())
+    out["n"] = out["n"].astype("int64")
+    out["pct"] = (100.0 * out["n"] / total).round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q11-q13 (events)
+
+
+def q11_hourly_user_windows(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time window (SURVEY I*/streaming-shaped): floor ts to
+    the hour in map_batches, then grouped agg — no driver loops."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                    "value": t["value"],
+                }
+            )
+            .group_by(["user_id", "window_start"])
+            .aggregate([("value", "count"), ("value", "sum")])
+        )
+        return g.rename_columns(["user_id", "window_start", "p_n", "p_sum"])
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="s"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["s"].round(4)
+    return out[["user_id", "window_start", "n_events", "sum_value"]].sort_values(
+        ["user_id", "window_start"]
+    ).reset_index(drop=True)
+
+
+def q12_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Keep-latest dedup (SURVEY J2/D1 generalization): hash-partitioned
+    per-key max-(ts, event_id)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"])
+    out = keep_latest(ds, ["user_id"], ["ts", "event_id"]).to_pandas()
+    return out[["user_id", "event_id", "ts", "event_type", "value"]].sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
+def q13_props_extract(sf_dir: str) -> pd.DataFrame:
+    """JSON-path extraction (SURVEY M13) + grouped count."""
+    ds = _read(sf_dir, "events", columns=["props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = cl.json_extract(t["props"], ["k"])
+        return (
+            pa.table({"k": pc.cast(k, pa.int64())})
+            .group_by("k")
+            .aggregate([("k", "count")])
+            .rename_columns(["k", "p_n"])
+        )
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("k").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q14-q16 (documents/embeddings)
+
+
+def q14_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup (SURVEY D1) at scale-shape: group on sha256(text) — the
+    shuffle moves 64-byte digests, never the documents."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "h": pa.array(sha256_col(t["text"]), pa.string())}
+        )
+
+    out = (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q15_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Token counting (text-analysis op) with per-lang rollup."""
+    from aws_medallion_datalake_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(toks=token_count(df["text"]))
+        g = df.groupby("lang", as_index=False).agg(p_n=("toks", "size"), p_t=("toks", "sum"))
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_t", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    out["avg_tokens"] = (out["total_tokens"] / out["n_docs"]).round(4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q16_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline): broadcast query
+    matrix, per-batch matmul + local top-k, tiny driver merge.  Returns
+    (rank, vec_id) — scores are float32 in the DuckDB oracle, so ordering is
+    on round(score, 4) with vec_id tie-break in both implementations."""
+    from aws_medallion_datalake_ray.functions.embeddings import cosine_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+        .to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = cosine_topk(ds, np.asarray(q), k=10)
+    df["score4"] = df["score"].round(4)
+    df = df.sort_values(["score4", "vec_id"], ascending=[False, True]).head(10)
+    df["rank"] = range(1, len(df) + 1)
+    return df[["rank", "vec_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q17-q19
+
+
+def q17_supplier_regions(sf_dir: str) -> pd.DataFrame:
+    """Star multi-join with broadcast dims (SURVEY J1): supplier ⋈ nation ⋈
+    region, dims shipped once."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class Enrich:
+        def __init__(self, ref):
+            self.n2rname = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.n2rname.get(k) for k in t["s_nationkey"].to_pylist()]
+            cents = pc.cast(
+                pc.round(pc.multiply(t["s_acctbal"], pa.scalar(100.0))), pa.int64()
+            )
+            g = (
+                pa.table({"r_name": pa.array(names, pa.string()), "bal": cents})
+                .group_by("r_name")
+                .aggregate([("bal", "count"), ("bal", "sum")])
+            )
+            return g.rename_columns(["r_name", "p_n", "p_bal"])
+
+    out = (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(
+            Enrich, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("r_name")
+        .aggregate(Sum("p_n", alias_name="n_suppliers"), Sum("p_bal", alias_name="bal"))
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["total_acctbal"] = (out["bal"] / 100.0).round(2)
+    return out[["r_name", "n_suppliers", "total_acctbal"]].sort_values("r_name").reset_index(
+        drop=True
+    )
+
+
+def q18_part_filter(sf_dir: str) -> pd.DataFrame:
+    """Typed projection + predicate pushdown at the read (SURVEY M3/M12/S2)."""
+    ds = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_size"],
+        filter=(pc.field("p_size") > 25),
+    )
+    return ds.to_pandas().sort_values("p_partkey").reset_index(drop=True)
+
+
+def q19_orders_topk(sf_dir: str) -> pd.DataFrame:
+    """Global sort desc + limit (SURVEY O1) — range-partition shuffle."""
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(15)
+        .to_pandas()
+    )
+    return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
+
+
+# ================================================================ oracle SQL
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": """
+        -- money sums accumulate exact integer cents / 1e-4 units so the
+        -- result is independent of float summation order (matches the Ray
+        -- implementation bit-for-bit)
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS sum_base_price,
+               ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                 + 50) // 100) / 100.0 AS sum_disc_price,
+               round(sum(l_quantity) / count(*), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_top_customers": """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_spent,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT 10
+    """,
+    "q03_order_revenue": """
+        SELECT l.l_orderkey,
+               ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY l.l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q04_global_metrics": """
+        SELECT count(*)                  AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                     / count(*), 4)      AS avg_price,
+               min(l_shipdate)           AS min_shipdate,
+               max(l_shipdate)           AS max_shipdate
+        FROM lineitem
+    """,
+    "q05_distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "q06_count_distinct_customers": """
+        SELECT count(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    "q07_acctbal_buckets": """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS bucket,
+               count(*) AS n
+        FROM customer GROUP BY 1 ORDER BY bucket
+    """,
+    "q08_orders_by_month": """
+        SELECT year(o_orderdate)  AS ano,
+               month(o_orderdate) AS mes,
+               count(*)           AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY ano, mes
+    """,
+    "q09_union_counts": """
+        SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        UNION ALL
+        SELECT 'nation' AS table_name, count(*) AS n_rows FROM nation
+        ORDER BY table_name
+    """,
+    "q10_event_type_pct": """
+        SELECT event_type, count(*) AS n,
+               round(100.0 * count(*) / (SELECT count(*) FROM events), 4) AS pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q11_hourly_user_windows": """
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY user_id, window_start
+    """,
+    "q12_latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """,
+    "q13_props_extract": """
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY k
+    """,
+    "q14_dedup_documents": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    "q15_doc_token_stats": """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+               round(CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) * 1.0
+                     / count(*), 4) AS avg_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q16_ann_topk": """
+        SELECT row_number() OVER (
+                 ORDER BY round(CAST(list_cosine_similarity(
+                     embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4)
+                     DESC, vec_id) AS rank,
+               vec_id
+        FROM embeddings
+        ORDER BY rank
+        LIMIT 10
+    """,
+    "q17_supplier_regions": """
+        SELECT r.r_name, count(*) AS n_suppliers,
+               round(sum(CAST(round(s.s_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r_name
+    """,
+    "q18_part_filter": """
+        SELECT p_partkey, p_name, p_size FROM part
+        WHERE p_size > 25 ORDER BY p_partkey
+    """,
+    "q19_orders_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+}
+
+SQL_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_customers": q02_top_customers,
+    "q03_order_revenue": q03_order_revenue,
+    "q04_global_metrics": q04_global_metrics,
+    "q05_distinct_segments": q05_distinct_segments,
+    "q06_count_distinct_customers": q06_count_distinct_customers,
+    "q07_acctbal_buckets": q07_acctbal_buckets,
+    "q08_orders_by_month": q08_orders_by_month,
+    "q09_union_counts": q09_union_counts,
+    "q10_event_type_pct": q10_event_type_pct,
+    "q11_hourly_user_windows": q11_hourly_user_windows,
+    "q12_latest_event_per_user": q12_latest_event_per_user,
+    "q13_props_extract": q13_props_extract,
+    "q14_dedup_documents": q14_dedup_documents,
+    "q15_doc_token_stats": q15_doc_token_stats,
+    "q16_ann_topk": q16_ann_topk,
+    "q17_supplier_regions": q17_supplier_regions,
+    "q18_part_filter": q18_part_filter,
+    "q19_orders_topk": q19_orders_topk,
+}

@@ -1,0 +1,119 @@
+"""Training-data operators: text analysis, near-dup dedup, similarity search."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from aws_medallion_datalake_ray.functions.dedup import (
+    hamming64,
+    jaccard,
+    minhash_near_dups,
+    ngram_jaccard,
+    simhash64,
+)
+from aws_medallion_datalake_ray.functions.embeddings import ann_lsh, cosine_topk
+from aws_medallion_datalake_ray.functions.text import TextAnalyzer, token_count
+
+
+def test_token_count():
+    s = pd.Series(["a b  c", "", None, "single"])
+    assert list(token_count(s)) == [3, 0, 0, 1]
+
+
+def test_langid_heuristic():
+    an = TextAnalyzer()
+    s = pd.Series(
+        [
+            "the cat and the dog sat in the house for a while",
+            "der Hund und die Katze sind nicht in das Haus",
+            "le chat et le chien sont dans la maison pour un moment",
+            "el gato y el perro es una casa para los dos",
+            "这是一个中文句子用于测试语言识别功能",
+        ]
+    )
+    assert list(an.lang_scores(s)) == ["en", "de", "fr", "es", "zh"]
+
+
+def test_quality_score_orders_sensibly():
+    an = TextAnalyzer()
+    good = "the quick brown fox jumps over the lazy dog and runs to the house in a field"
+    bad = "@@@ ### !!! ;;; ::: %%% ^^^ &&& *** ((( )))"
+    q = an.quality(pd.Series([good, bad]))
+    assert q["quality_score"][0] > q["quality_score"][1]
+
+
+def test_fingerprint_whitespace_robust():
+    an = TextAnalyzer()
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha  beta gamma\tdelta epsilon zeta eta theta iota kappa"
+    c = "totally different words here that share nothing at all with it"
+    f = an.fingerprint(pd.Series([a, b, c]))
+    assert f[0] == f[1] != f[2]
+
+
+def test_jaccard_and_ngram():
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine eleven"
+    assert 0.5 < jaccard(a, b) < 1.0
+    assert jaccard(a, a) == 1.0
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
+
+
+def test_simhash_near_vs_far():
+    s = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog near the river bank",
+            "the quick brown fox jumps over the lazy dog near the river bend",
+            "completely unrelated legal boilerplate about contracts and parties",
+        ]
+    )
+    h = simhash64(s)
+    d_near = hamming64(h[:1], h[1:2])[0]
+    d_far = hamming64(h[:1], h[2:3])[0]
+    assert d_near < d_far
+
+
+def test_minhash_lsh_finds_planted_pair():
+    base = [
+        f"document number {i} talks about topic {i % 7} with words "
+        + " ".join(f"w{i}{j}" for j in range(30))
+        for i in range(40)
+    ]
+    near = base[0] + " tiny edit"
+    t = pa.table({"doc_id": list(range(40)) + [100], "text": base + [near]})
+    pairs = minhash_near_dups(ray.data.from_arrow(t), threshold=0.6)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 100) in got
+    # no false positives among unrelated docs
+    assert all(b == 100 and a == 0 for a, b in got)
+
+
+def test_cosine_topk_matches_numpy():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    q = m[3]
+    t = pa.table(
+        {"vec_id": pa.array(range(200), pa.int64()),
+         "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32()))}
+    )
+    got = cosine_topk(ray.data.from_arrow(t), q, k=5)
+    sims = (m.astype(np.float64) @ q.astype(np.float64)) / (
+        np.linalg.norm(m.astype(np.float64), axis=1) * np.linalg.norm(q.astype(np.float64))
+    )
+    exp = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+    assert got["vec_id"].tolist() == exp.tolist()
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert got["vec_id"].iloc[0] == 3  # self first
+
+
+def test_ann_lsh_self_hit():
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((100, 8)).astype(np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(range(100), pa.int64()),
+         "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))}
+    )
+    out = ann_lsh(ray.data.from_arrow(t), m[7], dim=8, k=3, n_planes=4, n_probe_bits=1)
+    assert out["vec_id"].iloc[0] == 7  # query's own bucket contains it
