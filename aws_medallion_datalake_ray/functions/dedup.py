@@ -157,6 +157,104 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+class BandEmitter(MinHasher):
+    """Actor-pool stage: minhash signature -> (id, bucket) rows, where
+    ``bucket`` packs (band_id, band_hash) into one uint64 — a single-column
+    shuffle key is dramatically cheaper than a two-column one.  The
+    permutation table builds once per actor (``__init__``)."""
+
+    def __init__(self, id_col: str, text_col: str, bands: int, num_perm: int = 64,
+                 shingle_k: int = 5, seed: int = 7):
+        super().__init__(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+        self.id_col, self.text_col, self.bands = id_col, text_col, bands
+        self.rows_per_band = num_perm // bands
+
+    def signatures(self, texts) -> np.ndarray:
+        return np.stack([self.signature(str(t)) for t in texts])
+
+    def buckets_of(self, texts) -> np.ndarray:
+        """(n_docs, bands) uint64 bucket ids (vectorized fold per band)."""
+        sigs = self.signatures(texts)  # (n, num_perm)
+        n = sigs.shape[0]
+        out = np.empty((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                band = sigs[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                folded = band[:, 0].copy()
+                for j in range(1, band.shape[1]):
+                    folded = folded * np.uint64(1099511628211) + band[:, j]
+                out[:, b] = folded * np.uint64(31) + np.uint64(b)
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        b = self.buckets_of(batch[self.text_col])
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
+        return pd.DataFrame({self.id_col: ids, "bucket": b.reshape(-1).astype(np.int64)})
+
+
+def near_dup_candidate_count(
+    ds, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16,
+    shingle_k: int = 5, concurrency=(2, 16),
+) -> dict:
+    """Distributed near-dup *scan*: count LSH bucket collisions over the whole
+    corpus without materializing pairs — the maintenance-cycle stage shape for
+    100 TB.  Signatures run on an actor pool; counting is a **mergeable
+    sketch** (bucket -> count as sorted numpy pairs) combined by Ray Data's
+    tree aggregation — no all-to-all shuffle at all, the only data movement
+    is per-block count states (~KBs each)."""
+    from ray.data.aggregate import AggregateFnV2 as _AggBase  # Ray 2.49
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        BandEmitter,
+        fn_constructor_kwargs={
+            "id_col": id_col, "text_col": text_col, "bands": bands,
+            "num_perm": num_perm, "shingle_k": shingle_k,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def _merge(a, b):
+        if a is None or len(a[0]) == 0:
+            return b
+        if b is None or len(b[0]) == 0:
+            return a
+        k = np.concatenate([a[0], b[0]])
+        v = np.concatenate([a[1], b[1]])
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        uk, inv = np.unique(k, return_index=True)
+        sums = np.add.reduceat(v, inv)
+        return (uk, sums)
+
+    class BucketCounts(_AggBase):
+        def __init__(self):
+            super().__init__(
+                name="bucket_counts",
+                zero_factory=lambda: (np.array([], np.int64), np.array([], np.int64)),
+                on=None,
+                ignore_nulls=True,
+            )
+
+        def aggregate_block(self, block):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            b = np.asarray(tbl["bucket"].to_pandas(), np.int64)
+            uk, counts = np.unique(b, return_counts=True)
+            return (uk, counts.astype(np.int64))
+
+        def combine(self, a, b):
+            return _merge(a, b)
+
+    res = banded.aggregate(BucketCounts())
+    uk, counts = res["bucket_counts"]
+    coll = counts > 1
+    return {
+        "buckets": int(len(uk)),
+        "collision_buckets": int(coll.sum()),
+        "colliding_rows": int(counts[coll].sum()),
+    }
+
+
 def minhash_near_dups(
     ds,
     text_col: str = "text",

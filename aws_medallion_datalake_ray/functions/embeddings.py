@@ -35,34 +35,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norm, 1e-12)
 
 
-class _TopKScorer:
-    """Stateful batch scorer: query matrix fetched from the object store once
-    per actor; per batch one matmul + local argpartition top-k."""
-
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.q = _normalize(np.asarray(q, np.float64))
-        self.k = k
-        self.id_col, self.vec_col = id_col, vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_as_matrix(batch[self.vec_col]))
-        ids = np.asarray(batch[self.id_col].to_pandas())
-        scores = self.q @ m.T  # (Q, n)
-        k = min(self.k, scores.shape[1])
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(scores.shape[0]):
-            out_q.extend([qi] * k)
-            out_id.extend(ids[part[qi]])
-            out_s.extend(scores[qi, part[qi]])
-        return pa.table(
-            {
-                "query_idx": pa.array(out_q, pa.int64()),
-                self.id_col: pa.array(out_id),
-                "score": pa.array(out_s, pa.float64()),
-            }
-        )
+def _score_batch(
+    batch: pa.Table, queries_ref, k: int, id_col: str, vec_col: str
+) -> pa.Table:
+    """Per-batch matmul + local argpartition top-k.  The normalized query
+    matrix is a ZERO-COPY plasma fetch (fixed-dtype numpy) per task — never
+    re-shipped with the task."""
+    q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+    m = _normalize(_as_matrix(batch[vec_col]))
+    ids = np.asarray(batch[id_col].to_pandas())
+    scores = q @ m.T  # (Q, n)
+    k = min(k, scores.shape[1])
+    part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+    out_q, out_id, out_s = [], [], []
+    for qi in range(scores.shape[0]):
+        out_q.extend([qi] * k)
+        out_id.extend(ids[part[qi]])
+        out_s.extend(scores[qi, part[qi]])
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def cosine_topk(
@@ -72,12 +68,11 @@ def cosine_topk(
     """Global cosine top-k per query row.  Returns (query_idx, rank, id, score)
     sorted by (query_idx, rank); ties broken by id for determinism."""
     queries = np.atleast_2d(np.asarray(queries, np.float64))
-    ref = ray.put(queries)
+    ref = ray.put(np.ascontiguousarray(_normalize(queries)))
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        _TopKScorer,
-        fn_constructor_args=(ref, k, id_col, vec_col),
+        _score_batch,
+        fn_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     df = partials.to_pandas()  # Q * k * n_batches rows — tiny
     df["score_r"] = df["score"].round(6)

@@ -12,8 +12,7 @@ Everything here is vectorized numpy over uint64 arrays — no Python row loops.
 from __future__ import annotations
 
 import numpy as np
-
-from aws_medallion_datalake_ray.functions.hashing import hash_col
+import pyarrow as pa
 
 
 def _top_bits(h: np.ndarray, bits: int) -> np.ndarray:
@@ -39,24 +38,78 @@ def interleave_bits(cols: list[np.ndarray], bits_per_dim: int | None = None) -> 
     return out
 
 
-def zorder_key(columns, bits_per_dim: int | None = None) -> np.ndarray:
-    """Z-order key from raw columns (hashed first so any dtype clusters).
+def order_preserving_u64(col, bounds: tuple | None = None) -> np.ndarray:
+    """Map a column to uint64 preserving its sort order (NOT a hash).
 
-    ``columns``: sequence of Arrow/pandas/numpy columns.
+    Order preservation is what makes Z-order clustering useful: each output
+    file then covers a narrow *value* range per dimension, so the manifest's
+    min/max stats prune range/equality predicates.  Encodings:
+
+    - strings: 8 bytes big-endian AFTER stripping the column's global common
+      prefix (from ``bounds`` = (global_min, global_max) strings — e.g. repos
+      all starting "org0/repo" would otherwise collapse to one key);
+    - ints/floats: min/max-scaled to the full uint64 range (``bounds`` from
+      manifest stats or a pre-pass; identity offset fallback without them).
+    Nulls map to 0 (sort first).
     """
-    hashes = [hash_col(c) for c in columns]
-    return interleave_bits(hashes, bits_per_dim)
+    import pandas as pd
+
+    def _encode_str(s: pd.Series) -> np.ndarray:
+        skip = 0
+        if bounds is not None and isinstance(bounds[0], str):
+            lo, hi = bounds[0], bounds[1]
+            while skip < min(len(lo), len(hi)) and lo[skip] == hi[skip]:
+                skip += 1
+        if skip:
+            s = s.str.slice(skip)
+        try:
+            fixed = s.to_numpy(dtype=object).astype("S8")
+        except UnicodeEncodeError:
+            fixed = np.array([x.encode("utf-8")[:8] for x in s], dtype="S8")
+        return np.frombuffer(fixed.tobytes(), dtype=">u8").astype(np.uint64)
+
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return _encode_str(col.to_pandas().fillna(""))
+        vals = np.asarray(col.to_pandas().fillna(0), dtype=np.float64)
+    else:
+        s = pd.Series(col)
+        if s.dtype == object:
+            return _encode_str(s.fillna(""))
+        vals = s.fillna(0).to_numpy(dtype=np.float64)
+    if bounds is not None and bounds[1] > bounds[0]:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        frac = np.clip((vals - lo) / (hi - lo), 0.0, 1.0)
+        return (frac * float((1 << 63) - 1)).astype(np.uint64) << np.uint64(1)
+    with np.errstate(over="ignore"):
+        return (vals.astype(np.int64).astype(np.uint64) + np.uint64(1 << 63))
 
 
-def hilbert_key(columns, bits_per_dim: int = 10) -> np.ndarray:
-    """Hilbert-curve key over k hashed columns (Skilling's transpose algorithm,
-    vectorized across rows; loops only over k*bits, not rows).
+def zorder_key(columns, bits_per_dim: int | None = None, bounds: list | None = None) -> np.ndarray:
+    """Z-order (Morton) key over order-preserving per-column encodings.
+
+    ``columns``: sequence of Arrow/pandas/numpy columns; ``bounds``: optional
+    per-column (min, max) for numeric scaling (from manifest stats).
+    """
+    bounds = bounds or [None] * len(columns)
+    keys = [order_preserving_u64(c, b) for c, b in zip(columns, bounds)]
+    return interleave_bits(keys, bits_per_dim)
+
+
+def hilbert_key(columns, bits_per_dim: int = 10, bounds: list | None = None) -> np.ndarray:
+    """Hilbert-curve key over k order-preserving column encodings (Skilling's
+    transpose algorithm, vectorized across rows; loops only over k*bits).
 
     Better locality than Z-order (no long diagonal jumps); costlier to
     compute — O(k * bits) numpy passes.
     """
     k = len(columns)
-    x = [ _top_bits(hash_col(c), bits_per_dim).astype(np.uint64) for c in columns ]
+    bounds = bounds or [None] * k
+    x = [
+        _top_bits(order_preserving_u64(c, b), bits_per_dim).astype(np.uint64)
+        for c, b in zip(columns, bounds)
+    ]
     n = len(x[0])
     one = np.uint64(1)
 

@@ -115,27 +115,23 @@ def q02_top_customers(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
 
-    class JoinAgg:
-        def __init__(self, ref):
-            self.names = ray.get(ref)  # fetched once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            cents = pc.cast(
-                pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
-            )
-            g = (
-                pa.table({"o_custkey": t["o_custkey"], "cents": cents})
-                .group_by("o_custkey")
-                .aggregate([("cents", "sum"), ("cents", "count")])
-            )
-            g = g.rename_columns(["c_custkey", "p_spent", "p_n"])
-            names = [self.names.get(k) for k in g["c_custkey"].to_pylist()]
-            return g.append_column("c_name", pa.array(names, pa.string()))
+    def join_agg(t: pa.Table, ref=name_ref) -> pa.Table:
+        names_map = ray.get(ref)  # zero-copy plasma fetch per task
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        g = g.rename_columns(["c_custkey", "p_spent", "p_n"])
+        names = [names_map.get(k) for k in g["c_custkey"].to_pylist()]
+        return g.append_column("c_name", pa.array(names, pa.string()))
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(JoinAgg, fn_constructor_args=(name_ref,), batch_format="pyarrow",
-                     concurrency=(1, 4))
+        .map_batches(join_agg, batch_format="pyarrow")
         .groupby(["c_custkey", "c_name"])
         .aggregate(Sum("p_spent", alias_name="spent"), Sum("p_n", alias_name="n_orders"))
         .to_pandas()
@@ -456,28 +452,22 @@ def q17_supplier_regions(sf_dir: str) -> pd.DataFrame:
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
 
-    class Enrich:
-        def __init__(self, ref):
-            self.n2rname = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.n2rname.get(k) for k in t["s_nationkey"].to_pylist()]
-            cents = pc.cast(
-                pc.round(pc.multiply(t["s_acctbal"], pa.scalar(100.0))), pa.int64()
-            )
-            g = (
-                pa.table({"r_name": pa.array(names, pa.string()), "bal": cents})
-                .group_by("r_name")
-                .aggregate([("bal", "count"), ("bal", "sum")])
-            )
-            return g.rename_columns(["r_name", "p_n", "p_bal"])
+    def enrich(t: pa.Table, ref=lookup_ref) -> pa.Table:
+        n2rname = ray.get(ref)
+        names = [n2rname.get(k) for k in t["s_nationkey"].to_pylist()]
+        cents = pc.cast(
+            pc.round(pc.multiply(t["s_acctbal"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"r_name": pa.array(names, pa.string()), "bal": cents})
+            .group_by("r_name")
+            .aggregate([("bal", "count"), ("bal", "sum")])
+        )
+        return g.rename_columns(["r_name", "p_n", "p_bal"])
 
     out = (
         _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-        .map_batches(
-            Enrich, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        .map_batches(enrich, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Sum("p_n", alias_name="n_suppliers"), Sum("p_bal", alias_name="bal"))
         .to_pandas()

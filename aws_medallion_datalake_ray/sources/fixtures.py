@@ -44,7 +44,9 @@ def _grouped_arange(counts: np.ndarray) -> np.ndarray:
     return idx - starts
 
 
-def make_source_files(n_rows: int, seed: int = 42) -> pa.Table:
+def make_source_files(n_rows: int, seed: int = 42, pair_offset: int = 0) -> pa.Table:
+    """``pair_offset`` shifts path ids so chunked generation (different seeds)
+    never repeats a (repo, path) pair across chunks."""
     rng = np.random.default_rng(seed)
 
     # (repo, path) pairs, each with 1-5 versions
@@ -65,7 +67,7 @@ def make_source_files(n_rows: int, seed: int = 42) -> pa.Table:
     lang_idx = rng.choice(len(LANGS), n_pairs, p=_LANG_P)
     d1 = rng.integers(0, 8, n_pairs)
     d2 = rng.integers(0, 12, n_pairs)
-    file_k = np.arange(n_pairs)
+    file_k = np.arange(n_pairs) + pair_offset
 
     pair_repo = [f"org{i // 50}/repo{i}" for i in repo_idx]
     pair_lang = [LANGS[i] for i in lang_idx]
@@ -154,10 +156,15 @@ def make_updates(base: pa.Table, n_updates: int, seed: int = 43) -> pa.Table:
 
 
 def write_source_files(
-    out_dir: str, n_rows: int, rows_per_file: int = 2000, seed: int = 42
+    out_dir: str, n_rows: int, rows_per_file: int = 2000, seed: int = 42,
+    chunk_rows: int = 100_000,
 ) -> list[str]:
     """Write the fixture as many small parquet files; returns file paths.
-    Idempotent: if the directory already holds the same row count, reuse."""
+
+    Streams generation in ``chunk_rows`` chunks (bounded driver memory at
+    million-row bench scales); deterministic via per-chunk seeds + pair
+    offsets.  Idempotent: a completion marker skips regeneration.
+    """
     marker = os.path.join(out_dir, f".complete-{n_rows}-{rows_per_file}-{seed}")
     if os.path.exists(marker):
         return sorted(
@@ -167,11 +174,19 @@ def write_source_files(
     for f in os.listdir(out_dir):
         if f.endswith(".parquet") or f.startswith(".complete-"):
             os.unlink(os.path.join(out_dir, f))
-    t = make_source_files(n_rows, seed)
     paths = []
-    for i in range(0, len(t), rows_per_file):
-        p = os.path.join(out_dir, f"part-{i // rows_per_file:05d}.parquet")
-        pq.write_table(t.slice(i, rows_per_file), p, compression="snappy")
-        paths.append(p)
+    file_i = 0
+    done = 0
+    chunk_i = 0
+    while done < n_rows:
+        n = min(chunk_rows, n_rows - done)
+        t = make_source_files(n, seed + chunk_i, pair_offset=chunk_i * 10_000_000)
+        for i in range(0, len(t), rows_per_file):
+            p = os.path.join(out_dir, f"part-{file_i:05d}.parquet")
+            pq.write_table(t.slice(i, rows_per_file), p, compression="snappy")
+            paths.append(p)
+            file_i += 1
+        done += len(t)
+        chunk_i += 1
     open(marker, "w").close()
     return paths

@@ -128,7 +128,9 @@ def _compact_bin(
     """
     tables = [pq.read_table(p) for p in abs_in]
     merged = pa.concat_tables(tables, promote_options="permissive")
-    pq.write_table(merged, abs_out, compression="zstd", row_group_size=1 << 20)
+    # 128k-row groups: a compacted file must stay splittable into parallel
+    # read blocks for downstream sorts/scans (1 row group = 1 block floor)
+    pq.write_table(merged, abs_out, compression="zstd", row_group_size=1 << 17)
     return parquet_footer_stats(abs_out, stats_cols)
 
 
@@ -152,32 +154,62 @@ def plan_bins(
     return [members for _, members in bins if len(members) >= min_files_per_bin]
 
 
-class _AntiJoinKeys:
-    """Actor-pool stage: drop rows whose key tuple is in the broadcast update
-    key set.  The sorted key array is fetched from the object store ONCE per
-    actor (``ray.put`` on the driver; zero-copy numpy view in each worker) —
-    never re-shipped per batch."""
+_KEY_SEP = "\x1f"
 
-    SEP = "\x1f"
 
-    def __init__(self, keys_ref, key_cols: tuple[str, ...]):
-        self.keys = ray.get(keys_ref)  # sorted np.ndarray of joined key strings
-        self.key_cols = key_cols
+def _join_keys(batch: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
+    parts = [batch[c].to_pandas().astype(str) for c in key_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + _KEY_SEP + p
+    return out.to_numpy(dtype=object)
 
-    @staticmethod
-    def join_keys(batch: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
-        parts = [batch[c].to_pandas().astype(str) for c in key_cols]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out + _AntiJoinKeys.SEP + p
-        return out.to_numpy(dtype=object)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        k = self.join_keys(batch, self.key_cols)
-        idx = np.searchsorted(self.keys, k)
-        idx = np.clip(idx, 0, len(self.keys) - 1)
-        hit = self.keys[idx] == k if len(self.keys) else np.zeros(len(k), bool)
-        return batch.filter(pa.array(~hit))
+def _to_fixed_bytes(arr: np.ndarray, dtype) -> np.ndarray:
+    """object-str array -> fixed-width bytes; utf-8 fallback for non-ascii."""
+    try:
+        return arr.astype(dtype)
+    except UnicodeEncodeError:
+        w = np.dtype(dtype).itemsize
+        return np.array([x.encode("utf-8")[:w] for x in arr], dtype=dtype)
+
+
+def _key_membership(
+    batch: pa.Table, keys_ref, lens_ref, key_cols: tuple[str, ...]
+) -> np.ndarray:
+    """Row mask: key tuple present in the broadcast sorted key set.
+
+    The key set is a SORTED fixed-width bytes ndarray (dtype 'S<w>') put once
+    on the driver: fixed-dtype numpy is a ZERO-COPY plasma read, so each task
+    maps the array rather than deserializing it — no actor pool, no per-batch
+    re-ship.  ``lens_ref`` carries true byte lengths so a key longer than the
+    fixed width can never false-positive on a prefix."""
+    keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+    lens = ray.get(lens_ref) if isinstance(lens_ref, ray.ObjectRef) else lens_ref
+    if len(keys) == 0:
+        return np.zeros(len(batch), dtype=bool)
+    raw = _join_keys(batch, key_cols)
+    blen = np.array([len(x.encode("utf-8")) for x in raw], dtype=np.int32)
+    k = _to_fixed_bytes(raw, keys.dtype)
+    idx = np.searchsorted(keys, k)
+    idx = np.clip(idx, 0, len(keys) - 1)
+    return (keys[idx] == k) & (lens[idx] == blen)
+
+
+def _anti_join_batch(
+    batch: pa.Table, keys_ref, lens_ref, key_cols: tuple[str, ...]
+) -> pa.Table:
+    """Drop rows whose key tuple is in the broadcast update key set."""
+    hit = _key_membership(batch, keys_ref, lens_ref, key_cols)
+    return batch.filter(pa.array(~hit))
+
+
+def _semi_join_batch(
+    batch: pa.Table, keys_ref, lens_ref, key_cols: tuple[str, ...]
+) -> pa.Table:
+    """Keep only rows whose key tuple is in the broadcast key set."""
+    hit = _key_membership(batch, keys_ref, lens_ref, key_cols)
+    return batch.filter(pa.array(hit))
 
 
 class LakeTable:
@@ -399,12 +431,24 @@ class LakeTable:
         keyfn = hilbert_key if curve == "hilbert" else zorder_key
         cols = list(cols)
 
+        # numeric clustering dims need global (min, max) for order-preserving
+        # scaling — free from the manifest stats, no data pass
+        bounds: list[tuple | None] = []
+        for c in cols:
+            mins = [f.stats[c]["min"] for f in files if f.stats.get(c, {}).get("min") is not None]
+            maxs = [f.stats[c]["max"] for f in files if f.stats.get(c, {}).get("max") is not None]
+            if mins and maxs:
+                bounds.append((min(mins), max(maxs)))
+            else:
+                bounds.append(None)
+
         def add_key(batch: pa.Table) -> pa.Table:
-            k = keyfn([batch[c] for c in cols])
+            k = keyfn([batch[c] for c in cols], bounds=bounds)
             return batch.append_column("__cluster_key", pa.array(k))
 
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         ds = (
-            self.scan()
+            self.scan(override_num_blocks=max(2 * ncpu, len(files)))
             .map_batches(add_key, batch_format="pyarrow")
             .sort("__cluster_key")
             .drop_columns(["__cluster_key"])
@@ -510,23 +554,57 @@ class LakeTable:
         key = tuple(key)
         if isinstance(updates, pa.Table):
             updates = ray.data.from_arrow(updates)
-        updates = exact_dedup(updates, key, num_partitions=dedup_partitions)
 
         # --- collect update keys (key columns only; content never moves)
         key_parts: list[np.ndarray] = []
         first_col_vals: list[np.ndarray] = []
-        n_updates = 0
         for batch in updates.select_columns(list(key)).iter_batches(
             batch_size=65536, batch_format="pyarrow"
         ):
-            k = _AntiJoinKeys.join_keys(batch, key)
-            key_parts.append(k)
+            key_parts.append(_join_keys(batch, key))
             first_col_vals.append(np.asarray(batch[key[0]].to_pandas(), dtype=object))
-            n_updates += len(k)
-        if n_updates == 0:
+        raw_keys = np.concatenate(key_parts) if key_parts else np.array([], dtype=object)
+        if len(raw_keys) == 0:
             return {"updates": 0, "affected_files": 0}
-        keys_sorted = np.sort(np.concatenate(key_parts))
-        keys_ref = ray.put(keys_sorted)
+        lens_all = np.array([len(x.encode("utf-8")) for x in raw_keys], dtype=np.int32)
+        fixed_all = _to_fixed_bytes(raw_keys, f"S{max(1, int(lens_all.max()))}")
+        uniq, first_idx, counts = np.unique(
+            fixed_all, return_index=True, return_counts=True
+        )
+        uniq_lens = lens_all[first_idx]
+        n_updates = int(len(uniq))
+        keys_ref = ray.put(np.ascontiguousarray(uniq))
+        lens_ref = ray.put(np.ascontiguousarray(uniq_lens))
+
+        # --- dedup the update stream WITHOUT a shuffle: exact-dup keys are
+        # rare in practice (and a duplicate (repo,path,commit) implies
+        # identical content, so keep-any is correct); drop dup-key rows on
+        # the workers and re-insert one driver-deduped copy of each.  A
+        # pathologically dup-heavy huge stream falls back to the
+        # hash-partitioned shuffle dedup.
+        dup_mask = counts > 1
+        if dup_mask.any():
+            if int(dup_mask.sum()) > max(1_000_000, 0.5 * n_updates):
+                updates = exact_dedup(updates, key, num_partitions=dedup_partitions)
+            else:
+                dup_ref = ray.put(np.ascontiguousarray(uniq[dup_mask]))
+                dup_lens_ref = ray.put(np.ascontiguousarray(uniq_lens[dup_mask]))
+                clean = updates.map_batches(
+                    _anti_join_batch,
+                    fn_kwargs={"keys_ref": dup_ref, "lens_ref": dup_lens_ref,
+                               "key_cols": key},
+                    batch_format="pyarrow",
+                )
+                dup_rows = updates.map_batches(
+                    _semi_join_batch,
+                    fn_kwargs={"keys_ref": dup_ref, "lens_ref": dup_lens_ref,
+                               "key_cols": key},
+                    batch_format="pyarrow",
+                ).to_pandas()
+                dup_rows = dup_rows.drop_duplicates(list(key))
+                updates = clean.union(
+                    ray.data.from_arrow(pa.Table.from_pandas(dup_rows, preserve_index=False))
+                )
         upd_first = np.unique(np.concatenate(first_col_vals))
 
         # --- prune base files via first-key-column stats
@@ -559,10 +637,9 @@ class LakeTable:
             survivors = ray.data.read_parquet(
                 [self.abs(f.path) for f in affected]
             ).map_batches(
-                _AntiJoinKeys,
-                fn_constructor_args=(keys_ref, key),
+                _anti_join_batch,
+                fn_kwargs={"keys_ref": keys_ref, "lens_ref": lens_ref, "key_cols": key},
                 batch_format="pyarrow",
-                concurrency=(1, 8),
             )
             if schema is not None:
                 survivors = survivors.select_columns(schema.names)
@@ -594,6 +671,38 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------ verification
+
+    def content_checksum(self, cols: Sequence[str], snapshot_id: int | None = None) -> int:
+        """Distributed order-insensitive checksum: per-batch row-hash sums
+        (mod 2^61-1) reduced with a tiny aggregate — the whole table is hashed
+        on the workers, the driver sees one integer.  Used by the benchmark's
+        sha-verified post-maintenance scan (fingerprint() streams to the
+        driver and is for tests only)."""
+        from ray.data.aggregate import Sum
+
+        from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+
+        # two ~2^30 moduli: per-batch partial sums stay < 2^30, so the final
+        # int64 Sum cannot overflow even with 2^33 batches; combined collision
+        # probability for differing multisets ~ 1/(p1*p2) ~ 1e-18
+        P1, P2 = (1 << 31) - 1, (1 << 29) - 3
+        cols = list(cols)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            h = hash_batch_cols(batch, tuple(cols))
+            s1 = int((h % np.uint64(P1)).astype(object).sum()) % P1
+            s2 = int((h % np.uint64(P2)).astype(object).sum()) % P2
+            return pa.table(
+                {"h1": pa.array([s1], pa.int64()), "h2": pa.array([s2], pa.int64())}
+            )
+
+        if not self.files(snapshot_id):
+            return 0
+        ds = self.scan(snapshot_id=snapshot_id, columns=cols)
+        out = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("h1"), Sum("h2")
+        )
+        return (int(out["sum(h1)"]) % P1) * P2 + (int(out["sum(h2)"]) % P2)
 
     def content_fingerprint(self, cols: Sequence[str], snapshot_id: int | None = None) -> str:
         """Order-insensitive fingerprint of the table = sha256 over the sorted

@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metrics.
+
+Headline (per BASELINE.json): the table-maintenance cycle on the canonical
+source-code fixture — ingest -> compact -> zorder -> merge -> checksum-verified
+post-maintenance full scan -> expire/GC — plus per-query timings for the
+oracle suite over $GRAFT_SF_DIR.
+
+  RAY_GRAFT_CPUS=32 GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+  python bench.py --scaling     # N=4 vs 4N=16 CPUs in fresh processes
+
+Scaling protocol (BASELINE.md): same input, fresh ray.init at N=4 and 4N=16
+CPUs; efficiency = throughput(4N) / (4 * throughput(N)).  Levels 4/16 rather
+than 8/32 because this VM's *hardware* parallel-scaling ceiling (pure-CPU
+multiprocessing calibration) is ~0.91 at 4->16 but only ~0.81 at 8->32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "800000"))
+# actor pools take half the CPUs; the other half feeds them (read/shuffle
+# tasks) — a pool that reserves every CPU starves its own input
+POOL = max(2, NUM_CPUS // 2)
+TS = "2024-01-01T00:00:00"
+FP_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def _prepare_fixture() -> tuple[str, str]:
+    """Build (once, cached) the many-small-files source table + merge updates.
+    Excluded from timing; a warm-up read below levels the page cache."""
+    import pyarrow.parquet as pq
+
+    from aws_medallion_datalake_ray.sources.fixtures import make_updates, write_source_files
+
+    fdir = f"/tmp/amdl-bench-fixture-{BENCH_ROWS}"
+    upd_path = os.path.join(fdir, "updates", "updates.parquet")
+    files = write_source_files(fdir, BENCH_ROWS, rows_per_file=2000, seed=42)
+    if not os.path.exists(upd_path):
+        # sample the update stream from the real fixture files so update keys
+        # overlap the base table (hot repos stay hot in the update stream)
+        sample = pq.read_table(files[: max(1, len(files) // 4)])
+        os.makedirs(os.path.dirname(upd_path), exist_ok=True)
+        pq.write_table(make_updates(sample, BENCH_ROWS // 10, seed=99), upd_path)
+    return fdir, upd_path
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    from aws_medallion_datalake_ray.pipelines.queries import SQL_QUERIES
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    fdir, upd_path = _prepare_fixture()
+    # warm page cache so both scaling levels measure compute, not cold disk
+    for dirpath, _d, files in os.walk(fdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    fh.read()
+
+    # untimed warm-up: spawns the worker pool so the first timed stage
+    # measures the engine, not Ray process startup
+    ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b
+    ).count()
+
+    root = f"/tmp/amdl-bench-table-{NUM_CPUS}"
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(root)
+    timings: dict[str, float] = {}
+
+    def step(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    src_files = sorted(
+        os.path.join(fdir, f) for f in os.listdir(fdir) if f.endswith(".parquet")
+    )
+    step("ingest", lambda: table.append(ray.data.read_parquet(src_files), run_ts=TS))
+    checksum0 = step("scan_checksum_pre", lambda: table.content_checksum(FP_COLS))
+    n_small = len(table.files())
+    compact_res = step(
+        "compact", lambda: table.compact(target_file_bytes=32 * 1024 * 1024, run_ts=TS)
+    )
+    step(
+        "zorder",
+        lambda: table.zorder(["repo", "lang", "path"], target_file_bytes=16 * 1024 * 1024,
+                             run_ts=TS),
+    )
+    step("rewrite_stats", lambda: table.rewrite_stats(run_ts=TS))
+    checksum_mid = step("scan_checksum_mid", lambda: table.content_checksum(FP_COLS))
+    step(
+        "merge",
+        lambda: table.merge(ray.data.read_parquet(upd_path), run_ts=TS),
+    )
+    checksum1 = step("scan_checksum_post", lambda: table.content_checksum(FP_COLS))
+
+    from aws_medallion_datalake_ray.functions.dedup import near_dup_candidate_count
+
+    def near_dup_scan():
+        # content never leaves the workers — only per-block count sketches
+        # move (tree aggregation, no all-to-all)
+        ds = table.scan(columns=["commit", "content"])
+        return near_dup_candidate_count(
+            ds, text_col="content", id_col="commit", num_perm=96, bands=16,
+            concurrency=POOL,
+        )
+
+    dup_stats = step("near_dup_scan", near_dup_scan)
+
+    def quality_scan():
+        # text-analysis maintenance pass: lang-ID + quality features on an
+        # actor pool (regex tables compiled once per actor); tiny rollup out
+        from ray.data.aggregate import Count, Sum
+
+        from aws_medallion_datalake_ray.functions.text import TextAnalyzer
+
+        scored = table.scan(columns=["lang", "content"]).map_batches(
+            TextAnalyzer,
+            fn_constructor_kwargs={"text_col": "content"},
+            batch_format="pandas",
+            concurrency=POOL,
+        )
+
+        def partial(df):
+            import pandas as pd
+
+            g = df.groupby("lang_pred", as_index=False).agg(
+                n=("quality_score", "size"), q=("quality_score", "sum")
+            )
+            return g
+
+        out = (
+            scored.map_batches(partial, batch_format="pandas")
+            .groupby("lang_pred")
+            .aggregate(Sum("n", alias_name="n"), Sum("q", alias_name="q"))
+            .to_pandas()
+        )
+        return {"langs_detected": len(out), "rows_scored": int(out["n"].sum())}
+
+    quality_stats = step("quality_scan", quality_scan)
+    step("expire_gc", lambda: (table.expire_snapshots(keep_last=2), table.gc_orphans()))
+
+    total_rows = sum(f.rows for f in table.files())
+    total_bytes = sum(f.bytes for f in table.files())
+    maintenance_sec = round(sum(timings.values()), 3)
+    scan_gbps = round(total_bytes / max(1e-9, timings["scan_checksum_post"]) / 1e9, 4)
+    files_per_sec = round(
+        compact_res["files_in"] / max(1e-9, timings["compact"]), 2
+    )
+
+    qt: dict[str, float] = {}
+    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else SQL_QUERIES
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        qt[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "maintenance_cycle_sec",
+        "value": maintenance_sec,
+        "unit": "sec",
+        "queries": qt,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": total_rows,
+        "bench_bytes": total_bytes,
+        "timings": timings,
+        "post_scan_gbps": scan_gbps,
+        "compact_files_per_sec": files_per_sec,
+        "compact_files_in": compact_res["files_in"],
+        "small_files_before": n_small,
+        # compact+zorder must preserve the row multiset (checksum invariant);
+        # merge then changes it by design (checksum recorded for the record)
+        "checksum_invariant_compact_zorder": checksum0 == checksum_mid,
+        "checksum_post_merge": checksum1,
+        "near_dup": dup_stats,
+        "quality": quality_stats,
+        "queries_total_sec": round(sum(qt.values()), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two parallelism levels in FRESH processes on the same (pre-warmed)
+    input; reports both throughputs + scaling efficiency."""
+    _prepare_fixture()  # shared, cached
+    out = {}
+    for ncpu in (4, 16):
+        # N=4 vs 4N=16: this VM's pure-CPU scaling ceiling is ~0.91 at 4->16
+        # but only ~0.81 at 8->32 (hypervisor/memory contention) — see
+        # BASELINE.md calibration; the query suite is skipped (fixed-overhead
+        # dominated at sf0.1, measured separately by the plain run)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    # efficiency over the maintenance cycle (the headline job): the query
+    # suite at sf0.1 is fixed-overhead-dominated and measured separately
+    t_lo = out[4]["value"]
+    t_hi = out[16]["value"]
+    eff = (t_lo / t_hi) / (16 / 4)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": 4,
+        "cpus_hi": 16,
+        "maintenance_sec_4cpu": t_lo,
+        "maintenance_sec_16cpu": t_hi,
+        "rows_per_sec_4cpu": round(out[4]["bench_rows"] / t_lo, 1),
+        "rows_per_sec_16cpu": round(out[16]["bench_rows"] / t_hi, 1),
+        "sf": SF_DIR,
+        "bench_rows": out[16]["bench_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
