@@ -215,17 +215,26 @@ def near_dup_candidate_count(
     )
 
     def _merge(a, b):
+        """O(n) merge of two SORTED (keys, counts) states (no re-sort)."""
         if a is None or len(a[0]) == 0:
             return b
         if b is None or len(b[0]) == 0:
             return a
-        k = np.concatenate([a[0], b[0]])
-        v = np.concatenate([a[1], b[1]])
-        order = np.argsort(k, kind="stable")
-        k, v = k[order], v[order]
-        uk, inv = np.unique(k, return_index=True)
-        sums = np.add.reduceat(v, inv)
-        return (uk, sums)
+        ka, va = a
+        kb, vb = b
+        n = len(ka) + len(kb)
+        ib = np.searchsorted(ka, kb) + np.arange(len(kb))
+        k = np.empty(n, ka.dtype)
+        v = np.empty(n, va.dtype)
+        mask = np.ones(n, bool)
+        mask[ib] = False
+        k[ib], v[ib] = kb, vb
+        k[mask], v[mask] = ka, va
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        idx = np.flatnonzero(first)
+        return (k[idx], np.add.reduceat(v, idx))
 
     class BucketCounts(_AggBase):
         def __init__(self):
@@ -245,7 +254,17 @@ def near_dup_candidate_count(
         def combine(self, a, b):
             return _merge(a, b)
 
-    res = banded.aggregate(BucketCounts())
+    # the doc ids aren't needed for counting — drop them before aggregation
+    # (8-byte buckets instead of 48-byte rows) and coalesce into a few large
+    # blocks so the merge tree is shallow
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    res = (
+        banded.select_columns(["bucket"])
+        .repartition(max(16, 2 * ncpu))
+        .aggregate(BucketCounts())
+    )
     uk, counts = res["bucket_counts"]
     coll = counts > 1
     return {

@@ -690,8 +690,10 @@ class LakeTable:
 
         def partial(batch: pa.Table) -> pa.Table:
             h = hash_batch_cols(batch, tuple(cols))
-            s1 = int((h % np.uint64(P1)).astype(object).sum()) % P1
-            s2 = int((h % np.uint64(P2)).astype(object).sum()) % P2
+            # mod-2^31 values summed in uint64 cannot overflow below 2^33
+            # rows/batch, so the vectorized sum is exact
+            s1 = int((h % np.uint64(P1)).sum(dtype=np.uint64)) % P1
+            s2 = int((h % np.uint64(P2)).sum(dtype=np.uint64)) % P2
             return pa.table(
                 {"h1": pa.array([s1], pa.int64()), "h2": pa.array([s2], pa.int64())}
             )

@@ -214,7 +214,15 @@ def run_scaling() -> dict:
         # but only ~0.81 at 8->32 (hypervisor/memory contention) — see
         # BASELINE.md calibration; the query suite is skipped (fixed-overhead
         # dominated at sf0.1, measured separately by the plain run)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            # a larger fixture for the scaling evidence: per-stage fixed costs
+            # (~14 s/level) must be amortized by real work, as they would be
+            # on a cluster-sized input
+            GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "1200000"),
+        )
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
