@@ -1,0 +1,162 @@
+"""CLI entry points — one command per engine op, ``ray job submit``-able.
+
+Replaces the reference's Step-Functions DAG + poll-until-terminal runner
+(``terraform/digit_pipeline.tf:6-75``, ``scripts/run_digit_pipeline.py:19-45``):
+the sequential bronze→silver→gold pipeline is a single driver process here
+(`pipeline`), stage failures are recorded as stage-tagged structured errors in
+the job ledger (the reference's error-classifier Lambda, C4) and per-stage
+metrics are printed + persisted (the success-metric Lambda, C5).
+
+Usage (single node):
+    python -m aws_medallion_datalake_ray.cli compact --table /path/t [--target-mb 128]
+    python -m aws_medallion_datalake_ray.cli pipeline --input raw.parquet --root /path/lake
+Cluster: ``ray job submit -- python -m aws_medallion_datalake_ray.cli ...``
+(the script only calls ray.init when no session exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _table(path: str):
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    return LakeTable(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="amdl-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        p = sub.add_parser(name, **kw)
+        p.add_argument("--run-ts", default="1970-01-01T00:00:00")
+        return p
+
+    p = add("compact")
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--job-id", default=None)
+
+    p = add("zorder")
+    p.add_argument("--table", required=True)
+    p.add_argument("--cols", default="repo,lang,path")
+    p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    p.add_argument("--target-mb", type=int, default=128)
+
+    p = add("merge")
+    p.add_argument("--table", required=True)
+    p.add_argument("--updates", required=True, help="parquet path of the update stream")
+    p.add_argument("--key", default="repo,path,commit")
+
+    p = add("expire")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-last", type=int, default=2)
+
+    p = add("rewrite-stats")
+    p.add_argument("--table", required=True)
+
+    p = add("verify-scan")
+    p.add_argument("--table", required=True)
+    p.add_argument("--cols", default="repo,path,commit,lang,content")
+
+    p = add("pipeline")
+    p.add_argument("--input", required=True, help="raw source parquet path/glob")
+    p.add_argument("--root", required=True, help="lake root for bronze/silver/gold")
+
+    p = add("incremental")
+    p.add_argument("--input-root", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--job-id", required=True)
+
+    args = ap.parse_args(argv)
+    _ensure_ray()
+    t0 = time.time()
+    out: dict = {"cmd": args.cmd}
+
+    try:
+        if args.cmd == "compact":
+            out |= _table(args.table).compact(
+                target_file_bytes=args.target_mb << 20, run_ts=args.run_ts,
+                job_id=args.job_id,
+            )
+        elif args.cmd == "zorder":
+            out |= _table(args.table).zorder(
+                args.cols.split(","), curve=args.curve,
+                target_file_bytes=args.target_mb << 20, run_ts=args.run_ts,
+            )
+        elif args.cmd == "merge":
+            import ray.data
+
+            out |= _table(args.table).merge(
+                ray.data.read_parquet(args.updates), key=tuple(args.key.split(",")),
+                run_ts=args.run_ts,
+            )
+        elif args.cmd == "expire":
+            t = _table(args.table)
+            out["expired"] = t.expire_snapshots(keep_last=args.keep_last)
+            out["orphans_deleted"] = len(t.gc_orphans())
+        elif args.cmd == "rewrite-stats":
+            snap = _table(args.table).rewrite_stats(run_ts=args.run_ts)
+            out["snapshot_id"] = snap.snapshot_id
+        elif args.cmd == "verify-scan":
+            t = _table(args.table)
+            cols = tuple(args.cols.split(","))
+            out["checksum"] = t.content_checksum(cols)
+            out["rows"] = sum(f.rows for f in t.files())
+            out["files"] = len(t.files())
+        elif args.cmd == "pipeline":
+            import ray.data
+
+            from aws_medallion_datalake_ray.pipelines.medallion import run_medallion
+
+            stage = "bronze"  # stage-tagged error classification (ref C4)
+            try:
+                tables = run_medallion(
+                    ray.data.read_parquet(args.input), args.root, run_ts=args.run_ts
+                )
+                stage = "done"
+                out["tables"] = {
+                    k: {"files": len(v.files()), "rows": sum(f.rows for f in v.files())}
+                    for k, v in tables.items()
+                }
+            except Exception as e:
+                out["failed_stage"] = stage
+                out["error"] = f"{type(e).__name__}: {e}"[:500]
+                raise
+        elif args.cmd == "incremental":
+            from aws_medallion_datalake_ray.pipelines.incremental import incremental_promote
+
+            out |= incremental_promote(
+                args.input_root, _table(args.table), lambda ds: ds,
+                job_id=args.job_id, run_ts=args.run_ts,
+            )
+    except Exception as e:  # structured failure record (ref lambda_error_handler)
+        out["status"] = "failed"
+        out.setdefault("error", f"{type(e).__name__}: {e}"[:500])
+        out["seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(out))
+        return 1
+
+    out["status"] = "ok"
+    out["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

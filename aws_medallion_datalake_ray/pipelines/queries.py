@@ -499,6 +499,59 @@ def q19_orders_topk(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
 
 
+def q20_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set (SURVEY J3): the orders key set ships
+    once through the object store; each batch filters with a vectorized
+    isin — no shuffle."""
+    keys = np.sort(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+        .to_numpy()
+    )
+    keys_ref = ray.put(np.ascontiguousarray(np.unique(keys)))
+
+    def anti(t: pa.Table, ref=keys_ref) -> pa.Table:
+        ks = ray.get(ref)  # zero-copy plasma fetch
+        vals = t["c_custkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, vals), 0, len(ks) - 1)
+        hit = ks[idx] == vals
+        return t.filter(pa.array(~hit))
+
+    out = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # all customers ordered -> keep the schema on the empty frame
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype=object)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q21_parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Semi join via broadcast key set (SURVEY J3) + grouped count."""
+    keys = np.unique(
+        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])["l_partkey"]
+        .to_numpy()
+    )
+    keys_ref = ray.put(np.ascontiguousarray(keys))
+
+    def semi(t: pa.Table, ref=keys_ref) -> pa.Table:
+        ks = ray.get(ref)
+        vals = t["p_partkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, vals), 0, len(ks) - 1)
+        return t.filter(pa.array(ks[idx] == vals))
+
+    out = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        .map_batches(semi, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"))
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -633,6 +686,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
     """,
+    "q20_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q21_parts_in_lineitem": """
+        SELECT p_brand, count(*) AS n_parts FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        GROUP BY p_brand ORDER BY p_brand
+    """,
 }
 
 SQL_QUERIES = {
@@ -655,4 +718,6 @@ SQL_QUERIES = {
     "q17_supplier_regions": q17_supplier_regions,
     "q18_part_filter": q18_part_filter,
     "q19_orders_topk": q19_orders_topk,
+    "q20_customers_without_orders": q20_customers_without_orders,
+    "q21_parts_in_lineitem": q21_parts_in_lineitem,
 }
