@@ -157,6 +157,31 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def merge_count_states(a, b):
+    """O(n) merge of two SORTED (keys, counts) numpy-pair states (no re-sort).
+    The mergeable-sketch combine for the near-dup bucket counter; associative
+    and commutative (property-tested), so Ray may tree-combine in any order."""
+    if a is None or len(a[0]) == 0:
+        return b
+    if b is None or len(b[0]) == 0:
+        return a
+    ka, va = a
+    kb, vb = b
+    n = len(ka) + len(kb)
+    ib = np.searchsorted(ka, kb) + np.arange(len(kb))
+    k = np.empty(n, ka.dtype)
+    v = np.empty(n, va.dtype)
+    mask = np.ones(n, bool)
+    mask[ib] = False
+    k[ib], v[ib] = kb, vb
+    k[mask], v[mask] = ka, va
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = k[1:] != k[:-1]
+    idx = np.flatnonzero(first)
+    return (k[idx], np.add.reduceat(v, idx))
+
+
 class BandEmitter(MinHasher):
     """Actor-pool stage: minhash signature -> (id, bucket) rows, where
     ``bucket`` packs (band_id, band_hash) into one uint64 — a single-column
@@ -214,28 +239,6 @@ def near_dup_candidate_count(
         concurrency=concurrency,
     )
 
-    def _merge(a, b):
-        """O(n) merge of two SORTED (keys, counts) states (no re-sort)."""
-        if a is None or len(a[0]) == 0:
-            return b
-        if b is None or len(b[0]) == 0:
-            return a
-        ka, va = a
-        kb, vb = b
-        n = len(ka) + len(kb)
-        ib = np.searchsorted(ka, kb) + np.arange(len(kb))
-        k = np.empty(n, ka.dtype)
-        v = np.empty(n, va.dtype)
-        mask = np.ones(n, bool)
-        mask[ib] = False
-        k[ib], v[ib] = kb, vb
-        k[mask], v[mask] = ka, va
-        first = np.empty(n, bool)
-        first[0] = True
-        first[1:] = k[1:] != k[:-1]
-        idx = np.flatnonzero(first)
-        return (k[idx], np.add.reduceat(v, idx))
-
     class BucketCounts(_AggBase):
         def __init__(self):
             super().__init__(
@@ -252,7 +255,7 @@ def near_dup_candidate_count(
             return (uk, counts.astype(np.int64))
 
         def combine(self, a, b):
-            return _merge(a, b)
+            return merge_count_states(a, b)
 
     # the doc ids aren't needed for counting — drop them before aggregation
     # (8-byte buckets instead of 48-byte rows) and coalesce into a few large

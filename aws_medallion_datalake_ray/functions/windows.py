@@ -1,0 +1,113 @@
+"""Event-time windowing over a partitioned log — streaming-shaped semantics.
+
+Ray Data is a batch engine with no event-time watermarks; the reference's
+"streaming" is incremental batch (SURVEY §2.8).  These operators implement the
+three standard window shapes over an ``events``-like table, per the ray_guide
+pattern: tumbling/sliding as vectorized ``map_batches`` assignment (+ grouped
+aggregate), session windows as ``groupby(key).map_groups`` over ts-sorted
+groups.  Ordering assumption: session windows sort each key's rows by ts
+inside the group — no global order needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def tumbling_assign(batch: pa.Table, ts_col: str, unit: str = "hour") -> pa.Table:
+    """Append ``window_start`` = ts floored to the unit (vectorized)."""
+    return batch.append_column("window_start", pc.floor_temporal(batch[ts_col], unit=unit))
+
+
+def sliding_assign(
+    batch: pa.Table, ts_col: str, size_hours: int = 2, slide_hours: int = 1
+) -> pa.Table:
+    """Explode each row into the size/slide windows containing it.
+
+    One output row per (input row, window); window_start = floor(ts, slide)
+    - k*slide for k in [0, size/slide).  Vectorized: k copies of the batch
+    with shifted window starts.
+    """
+    n_windows = size_hours // slide_hours
+    base = pc.floor_temporal(batch[ts_col], unit="hour")  # slide granularity = 1h
+    parts = []
+    for k in range(n_windows):
+        shifted = pc.subtract(
+            base, pa.scalar(k * slide_hours * 3_600_000_000, pa.duration("us"))
+        )
+        parts.append(batch.append_column("window_start", shifted))
+    return pa.concat_tables(parts)
+
+
+def sessionize_group(
+    g: pd.DataFrame, ts_col: str = "ts", gap_minutes: int = 30
+) -> pd.DataFrame:
+    """Session ids within one key's rows: a new session starts when the gap
+    since the previous event exceeds ``gap_minutes``."""
+    g = g.sort_values(ts_col, kind="stable")
+    gap = g[ts_col].diff() > pd.Timedelta(minutes=gap_minutes)
+    g["session_id"] = gap.cumsum().astype("int64")
+    return g
+
+
+def session_windows(
+    ds: Dataset, key_col: str = "user_id", ts_col: str = "ts",
+    gap_minutes: int = 30, value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-key session aggregation: (key, session_start, n_events, sum_value)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = sessionize_group(g, ts_col, gap_minutes)
+        out = g.groupby("session_id").agg(
+            session_start=(ts_col, "min"),
+            n_events=(ts_col, "size"),
+            sum_value=(value_col, "sum"),
+        )
+        out[key_col] = g[key_col].iloc[0]
+        return out.reset_index(drop=True)
+
+    res = (
+        ds.select_columns([key_col, ts_col, value_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas()
+    )
+    res["n_events"] = res["n_events"].astype("int64")
+    res["sum_value"] = res["sum_value"].round(4)
+    return res[[key_col, "session_start", "n_events", "sum_value"]].sort_values(
+        [key_col, "session_start"]
+    ).reset_index(drop=True)
+
+
+def sliding_window_agg(
+    ds: Dataset, ts_col: str = "ts", value_col: str = "value",
+    size_hours: int = 2, slide_hours: int = 1,
+) -> pd.DataFrame:
+    """Global sliding-window counts/sums (combiner pattern: per-batch partial
+    aggregation before the small groupby)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = sliding_assign(batch.select([ts_col, value_col]), ts_col,
+                           size_hours, slide_hours)
+        g = w.group_by("window_start").aggregate(
+            [(value_col, "count"), (value_col, "sum")]
+        )
+        return g.rename_columns(["window_start", "p_n", "p_sum"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="s"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["s"].round(4)
+    return out[["window_start", "n_events", "sum_value"]].sort_values(
+        "window_start"
+    ).reset_index(drop=True)

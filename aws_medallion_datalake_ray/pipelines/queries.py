@@ -552,6 +552,25 @@ def q21_parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
+def q22_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding event-time windows (2h size / 1h slide) — explode-and-group."""
+    from aws_medallion_datalake_ray.functions.windows import sliding_window_agg
+
+    return sliding_window_agg(
+        _read(sf_dir, "events", columns=["ts", "value"]), size_hours=2, slide_hours=1
+    )
+
+
+def q23_session_windows(sf_dir: str) -> pd.DataFrame:
+    """Per-user session windows (30-min inactivity gap) — groupby/map_groups
+    over ts-sorted per-key groups."""
+    from aws_medallion_datalake_ray.functions.windows import session_windows
+
+    return session_windows(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]), gap_minutes=30
+    )
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -696,6 +715,32 @@ ORACLE_SQL: dict[str, str] = {
         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
         GROUP BY p_brand ORDER BY p_brand
     """,
+    "q22_sliding_windows": """
+        SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM (
+            SELECT date_trunc('hour', e.ts) - k.k * INTERVAL '1 hour' AS window_start,
+                   e.value
+            FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        )
+        GROUP BY window_start ORDER BY window_start
+    """,
+    "q23_session_windows": """
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM (
+            SELECT user_id, ts, value,
+                   sum(CASE WHEN gap THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+            FROM (
+                SELECT user_id, ts, value,
+                       ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes' AS gap
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
 }
 
 SQL_QUERIES = {
@@ -720,4 +765,6 @@ SQL_QUERIES = {
     "q19_orders_topk": q19_orders_topk,
     "q20_customers_without_orders": q20_customers_without_orders,
     "q21_parts_in_lineitem": q21_parts_in_lineitem,
+    "q22_sliding_windows": q22_sliding_windows,
+    "q23_session_windows": q23_session_windows,
 }
