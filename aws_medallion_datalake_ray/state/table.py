@@ -533,27 +533,37 @@ class LakeTable:
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
         dedup_partitions: int = 64,
+        strategy: str = "auto",
+        broadcast_threshold: int = 2_000_000,
     ) -> dict[str, Any]:
         """MERGE INTO (upsert on ``key``): updates win on key collisions,
         new keys insert, exact re-sends are idempotent no-ops.
 
-        Execution (copy-on-write, broadcast anti-join):
+        Two physical plans:
 
-        1. dedup updates on the key (hash-partitioned, ``exact_dedup``);
-        2. stream ONLY the key columns to the driver, build one sorted key
-           array, ``ray.put`` it (broadcast once, read per actor — the
-           "salted hash join" degenerate case where the build side fits in
-           the object store; hashing the full (repo,path,commit) triple is
-           what de-skews hot repos);
-        3. prune base files whose first-key-column min/max range cannot
-           contain any update key (manifest stats — only *affected* files
-           are rewritten);
-        4. anti-join affected files against the key set (actor pool), union
-           with the updates, rewrite, and commit removed=affected+added=new.
+        - **broadcast** (default when the update key set fits the object
+          store): stream ONLY the key columns to the driver, build one sorted
+          fixed-width key array, ``ray.put`` it, anti-join the stats-pruned
+          affected base files against it — no shuffle at all.  Hashing the
+          full (repo,path,commit) triple is what de-skews Zipf-hot repos.
+        - **partitioned** (``merge_partitioned``; huge update sides): a true
+          salted hash join — both sides co-partitioned on
+          ``hash(key) % P``, per-partition vectorized resolution, update
+          wins.
+
+        ``strategy``: "auto" (count-based), "broadcast", or "partitioned".
         """
         key = tuple(key)
         if isinstance(updates, pa.Table):
             updates = ray.data.from_arrow(updates)
+
+        if strategy == "partitioned" or (
+            strategy == "auto" and updates.count() > broadcast_threshold
+        ):
+            return self.merge_partitioned(
+                updates, key=key, run_ts=run_ts, job_id=job_id,
+                num_partitions=dedup_partitions,
+            )
 
         # --- collect update keys (key columns only; content never moves)
         key_parts: list[np.ndarray] = []
@@ -662,6 +672,111 @@ class LakeTable:
             run_ts,
             schema_json=self._file_schema(added),
             summary={"updates": n_updates, "affected_files": len(affected)},
+        )
+        ledger.finish()
+        return {
+            "updates": n_updates,
+            "affected_files": len(affected),
+            "files_out": len(added),
+        }
+
+    def merge_partitioned(
+        self,
+        updates: "ray.data.Dataset",
+        key: Sequence[str] = SOURCE_FILES_KEY,
+        run_ts: str = "1970-01-01T00:00:00",
+        job_id: str | None = None,
+        num_partitions: int = 64,
+    ) -> dict[str, Any]:
+        """MERGE INTO for huge update sides: salted hash join.
+
+        Both sides are co-partitioned on ``hash(key triple) % P`` (the full
+        triple hash scatters a hot repo's rows uniformly — built-in salting),
+        then each partition resolves update-wins with one vectorized
+        ``drop_duplicates``.  Base files are pruned to those whose first-key
+        min/max range intersects the distinct update key prefix set (computed
+        distributed via ``Dataset.unique`` — never the full key list on the
+        driver).
+        """
+        key = tuple(key)
+        n_updates = updates.count()
+        if n_updates == 0:
+            return {"updates": 0, "affected_files": 0}
+
+        # distributed distinct of the first key column for file pruning
+        upd_first = np.array(sorted(updates.unique(key[0])), dtype=object)
+        base_files = self.files()
+        affected: list[DataFile] = []
+        for f in base_files:
+            st = f.stats.get(key[0])
+            if st is None or st.get("min") is None or st.get("max") is None:
+                affected.append(f)
+                continue
+            i = np.searchsorted(upd_first, st["min"])
+            if i < len(upd_first) and upd_first[i] <= st["max"]:
+                affected.append(f)
+
+        job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op="merge-partitioned", run_ts=run_ts)
+        ledger.mark_running("merge", [f.path for f in affected])
+
+        schema = self.schema()
+
+        def tag_and_part(src: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                from aws_medallion_datalake_ray.functions.hashing import (
+                    hash_batch_cols,
+                    salted_partition,
+                )
+
+                h = hash_batch_cols(batch, key)
+                part = salted_partition(h, num_partitions)
+                batch = batch.append_column("__src", pa.array(np.full(len(batch), src, np.int8)))
+                return batch.append_column("__part", pa.array(part))
+
+            return fn
+
+        upd_tagged = updates.map_batches(tag_and_part(1), batch_format="pyarrow")
+        if affected:
+            base_tagged = ray.data.read_parquet(
+                [self.abs(f.path) for f in affected]
+            ).map_batches(tag_and_part(0), batch_format="pyarrow")
+            if schema is not None:
+                order = schema.names + ["__src", "__part"]
+                upd_tagged = upd_tagged.select_columns(order)
+                base_tagged = base_tagged.select_columns(order)
+            both = base_tagged.union(upd_tagged)
+        else:
+            both = upd_tagged
+
+        key_list = list(key)
+
+        def resolve(df):
+            # stable sort puts base (0) before updates (1); keep='last' makes
+            # the update win; duplicate update keys resolve to keep-any
+            df = df.sort_values("__src", kind="stable")
+            return df.drop_duplicates(key_list, keep="last").drop(
+                columns=["__src", "__part"]
+            )
+
+        result = both.groupby("__part").map_groups(resolve, batch_format="pandas")
+        if schema is not None:
+            def cast_back(batch: pa.Table) -> pa.Table:
+                return batch.select(schema.names).cast(schema)
+
+            result = result.map_batches(cast_back, batch_format="pyarrow")
+
+        added = self._write_dataset(result)
+        removed = [f.path for f in affected]
+        ledger.mark_completed(
+            "merge", removed, [f.path for f in added],
+            {"updates": n_updates, "affected_files": len(affected)},
+        )
+        self.store.commit(
+            added, removed, "merge", run_ts,
+            schema_json=self._file_schema(added),
+            summary={"updates": n_updates, "affected_files": len(affected),
+                     "strategy": "partitioned"},
         )
         ledger.finish()
         return {

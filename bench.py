@@ -163,6 +163,21 @@ def run_bench() -> dict:
     quality_stats = step("quality_scan", quality_scan)
     step("expire_gc", lambda: (table.expire_snapshots(keep_last=2), table.gc_orphans()))
 
+    # evidence that zorder + manifest stats actually prune: fraction of files
+    # a single-repo equality scan can skip (1.0 = no pruning)
+    from aws_medallion_datalake_ray.state.table import prune_files
+
+    all_files = table.files()
+    probe_repo = next(
+        (f.stats["repo"]["min"] for f in all_files if f.stats.get("repo", {}).get("min")),
+        None,
+    )
+    pruned_frac = (
+        round(len(prune_files(all_files, [("repo", "==", probe_repo)])) / len(all_files), 3)
+        if probe_repo
+        else None
+    )
+
     total_rows = sum(f.rows for f in table.files())
     total_bytes = sum(f.bytes for f in table.files())
     maintenance_sec = round(sum(timings.values()), 3)
@@ -198,6 +213,7 @@ def run_bench() -> dict:
         "checksum_post_merge": checksum1,
         "near_dup": dup_stats,
         "quality": quality_stats,
+        "repo_scan_files_frac": pruned_frac,
         "queries_total_sec": round(sum(qt.values()), 3),
     }
     ray.shutdown()

@@ -63,6 +63,34 @@ def test_summary_totals(tmp_path):
     assert s2.summary["total_bytes"] == 120
 
 
+def test_concurrent_commits_serialize(tmp_path):
+    """Many writers racing on the O_EXCL commit lock: all commits land, no
+    lost updates, snapshot ids strictly sequential."""
+    import threading
+
+    st = ManifestStore(str(tmp_path))
+    st.commit([df("data/base.parquet")], [], "append", TS)
+    errors = []
+
+    def writer(i):
+        try:
+            ManifestStore(str(tmp_path)).commit(
+                [df(f"data/w{i}.parquet")], [], "append", TS
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert st.head_id() == 9
+    paths = {f.path for f in st.files()}
+    assert paths == {"data/base.parquet"} | {f"data/w{i}.parquet" for i in range(8)}
+
+
 def test_expire_keeps_reachable_manifests(tmp_path):
     st = ManifestStore(str(tmp_path))
     st.commit([df("data/a.parquet")], [], "append", TS)

@@ -190,6 +190,19 @@ def test_merge_idempotent(table, source_files_small):
     assert table.content_fingerprint(FP_COLS) == fp1
 
 
+def test_merge_partitioned_matches_broadcast_semantics(table, source_files_small):
+    upd = make_updates(source_files_small, 400, seed=43)
+    res = table.merge(upd, run_ts=TS, strategy="partitioned")
+    assert res["updates"] == 400
+    got = table.to_arrow(columns=["repo", "path", "commit", "content"])
+    got_set = {(r["repo"], r["path"], r["commit"], r["content"]) for r in got.to_pylist()}
+    assert got_set == _expected_merge(source_files_small, upd)
+    assert len(got_set) == got.num_rows
+    # large_string preserved through the pandas resolve stage
+    sch = pq.read_schema(table.abs(table.files()[0].path))
+    assert str(sch.field("content").type) == "large_string"
+
+
 def test_merge_only_rewrites_affected_files(table, source_files_small):
     """Stats pruning: an update touching one repo must not rewrite files whose
     repo range can't contain it."""
