@@ -20,14 +20,20 @@ from ray.data import Dataset
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (zero-ish copy via numpy)."""
+    """list<float> / tensor-extension column -> (n, d) float64 matrix."""
     if isinstance(col, (pa.Array, pa.ChunkedArray)):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        n = len(col)
-        return flat.reshape(n, -1)
-    return np.stack(col.to_numpy() if isinstance(col, pd.Series) else col).astype(np.float64)
+        if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            return flat.reshape(len(col), -1)
+        # Ray's ArrowTensorArray (from_pandas list columns) and friends
+        arr = col.to_numpy(zero_copy_only=False)
+        return np.stack([np.asarray(x, np.float64) for x in arr]) if arr.dtype == object \
+            else np.asarray(arr, np.float64)
+    return np.stack(
+        [np.asarray(x, np.float64) for x in (col.to_numpy() if isinstance(col, pd.Series) else col)]
+    )
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -100,6 +106,49 @@ class LshBucketer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _as_matrix(batch[self.vec_col])
         return batch.append_column("lsh_bucket", pa.array(self.bucket_of(m)))
+
+
+def embedding_near_dups(
+    ds: Dataset, dim: int, threshold: float = 0.9, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 11,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed blocking.
+
+    Vectors are bucketed by hyperplane signature (near-identical vectors
+    collide with high probability); each bucket does an exact pairwise cosine
+    check.  Only pairs with cos >= threshold are returned — the all-pairs
+    O(n^2) never happens, only O(sum bucket^2) with buckets ~ n / 2^planes.
+    """
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[iu, ju][keep], 6)}
+        )
+
+    out = (
+        ds.map_batches(
+            LshBucketer,
+            fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed,
+                                   "vec_col": vec_col},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("lsh_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
 
 
 def ann_lsh(

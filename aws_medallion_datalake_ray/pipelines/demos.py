@@ -238,6 +238,30 @@ def demo_ann_lsh(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup: plant 5 near-identical vectors and find
+    them via LSH-bucketed pairwise cosine."""
+    from aws_medallion_datalake_ray.functions.embeddings import embedding_near_dups
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = emb.to_pandas()
+    planted = df.head(5).copy()
+    planted["vec_id"] = planted["vec_id"] + 1_000_000
+    planted["embedding"] = planted["embedding"].map(
+        lambda v: [x * 1.001 + 1e-4 for x in v]  # near-identical copy
+    )
+    all_df = pd.concat([df, planted], ignore_index=True)
+    dim = len(df["embedding"].iloc[0])
+    pairs = embedding_near_dups(
+        ray.data.from_pandas(all_df), dim=dim, threshold=0.99, n_planes=6
+    )
+    found = sum(1 for a, b in zip(pairs["id_a"], pairs["id_b"]) if b - a == 1_000_000)
+    return pd.DataFrame(
+        [{"n_vectors": len(all_df), "n_pairs": len(pairs),
+          "planted_found": found, "planted_total": 5}]
+    )
+
+
 def demo_multimodal(sf_dir: str) -> pd.DataFrame:
     """Binary-payload actor-pool featurize (decode stubbed, plumbing real)."""
     from aws_medallion_datalake_ray.stages.multimodal import featurize_media, make_media_table
@@ -263,4 +287,5 @@ DEMO_QUERIES = {
     "t04_fingerprints": demo_fingerprints,
     "e01_ann_lsh": demo_ann_lsh,
     "e02_multimodal_featurize": demo_multimodal,
+    "e03_embedding_near_dup": demo_embedding_near_dup,
 }

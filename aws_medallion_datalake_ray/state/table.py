@@ -498,6 +498,38 @@ class LakeTable:
             summary={"stats_cols": list(self.stats_cols)},
         )
 
+    # ------------------------------------------------------------ time travel
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot log (id, parent, ts, operation, summary), ascending."""
+        return [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_id,
+                "ts": s.ts,
+                "operation": s.operation,
+                "summary": s.summary,
+            }
+            for s in self.store.snapshots()
+        ]
+
+    def rollback(self, snapshot_id: int, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
+        """Restore the table to an older snapshot's state as a NEW commit
+        (nothing is deleted — the rollback itself is time-travel-able; orphan
+        GC only collects files once every referencing snapshot expires)."""
+        target = self.store.snapshot(snapshot_id)
+        current = self.store.files()
+        restored = self.store.files(target)
+        cur_paths = {f.path for f in current}
+        res_paths = {f.path for f in restored}
+        added = [f for f in restored if f.path not in cur_paths]
+        removed = [p for p in cur_paths if p not in res_paths]
+        return self.store.commit(
+            added, removed, "rollback", run_ts,
+            schema_json=target.schema_json,
+            summary={"rolled_back_to": snapshot_id},
+        )
+
     # ------------------------------------------------------------ expiry / GC
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:

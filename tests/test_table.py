@@ -147,6 +147,23 @@ def test_gc_protects_inflight_ledger_outputs(table):
     assert rel in deleted
 
 
+def test_history_and_rollback(table, source_files_small):
+    sid_before = table.store.head_id()
+    fp_before = table.content_fingerprint(FP_COLS)
+    upd = make_updates(source_files_small, 200, seed=21)
+    table.merge(upd, run_ts=TS)
+    assert table.content_fingerprint(FP_COLS) != fp_before
+    hist = table.history()
+    assert [h["operation"] for h in hist][-1] == "merge"
+    # rollback restores the pre-merge state as a new commit
+    snap = table.rollback(sid_before, run_ts=TS)
+    assert snap.operation == "rollback"
+    assert table.content_fingerprint(FP_COLS) == fp_before
+    # the merge snapshot is still readable (nothing deleted)
+    merge_sid = hist[-1]["snapshot_id"]
+    assert table.scan(snapshot_id=merge_sid).count() > 0
+
+
 def test_snapshot_isolation_reader_pinned(table):
     """A reader pinned to snapshot S sees identical bytes across concurrent
     maintenance (serializable snapshot isolation)."""
