@@ -358,10 +358,13 @@ class LakeTable:
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
         min_files_per_bin: int = 2,
+        predicate: Predicate | None = None,
     ) -> dict[str, Any]:
         """Bin-packing compaction: every bin is an independent Ray task
-        (no shuffle — SURVEY.md §7.4), resumable per-bin via the ledger."""
-        files = self.files()
+        (no shuffle — SURVEY.md §7.4), resumable per-bin via the ledger.
+        ``predicate`` scopes the rewrite to matching files (per-partition
+        compaction at large scale)."""
+        files = prune_files(self.files(), predicate)
         bins = plan_bins(files, target_file_bytes, min_files_per_bin)
         if not bins:
             return {"bins": 0, "files_in": 0, "files_out": 0}
@@ -415,14 +418,21 @@ class LakeTable:
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
+        predicate: Predicate | None = None,
     ) -> dict[str, Any]:
-        """Rewrite the table clustered by a bit-interleaved (Z/Hilbert) key.
+        """Rewrite (part of) the table clustered by a bit-interleaved
+        (Z/Hilbert) key.
 
         The sort is Ray Data's range-partitioning shuffle; each output file
         then covers a narrow key range in *all* clustered dimensions, so the
         manifest min/max stats prune multi-column predicates.
+
+        ``predicate`` scopes the rewrite: only matching files (manifest
+        pruning) participate and everything else is untouched — at 10^12-file
+        scale clustering runs per partition/key-range, never as one global
+        table sort.
         """
-        files = self.files()
+        files = prune_files(self.files(), predicate)
         if not files:
             return {"files_in": 0, "files_out": 0}
         total_rows = sum(f.rows for f in files)
@@ -448,7 +458,10 @@ class LakeTable:
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         ds = (
-            self.scan(override_num_blocks=max(2 * ncpu, len(files)))
+            ray.data.read_parquet(
+                [self.abs(f.path) for f in files],
+                override_num_blocks=max(2 * ncpu, len(files)),
+            )
             .map_batches(add_key, batch_format="pyarrow")
             .sort("__cluster_key")
             .drop_columns(["__cluster_key"])

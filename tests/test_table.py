@@ -103,6 +103,26 @@ def test_zorder_preserves_content_and_clusters(table):
         assert kept < len(files)
 
 
+def test_zorder_predicate_scoped(table):
+    """Predicate-scoped clustering rewrites only matching files (the per-
+    partition clustering shape for 10^12-file tables)."""
+    fp = table.content_fingerprint(FP_COLS)
+    # cluster by repo first so per-file lang/repo stats exist and are narrow
+    table.compact(target_file_bytes=2 * 1024 * 1024, run_ts=TS)
+    table.zorder(["lang"], target_file_bytes=128 * 1024, run_ts=TS)
+    files_before = {f.path for f in table.files()}
+    langs = table.to_arrow(columns=["lang"])["lang"].to_pylist()
+    lang = langs[0]
+    res = table.zorder(
+        ["repo", "path"], target_file_bytes=128 * 1024, run_ts=TS,
+        predicate=[("lang", "==", lang)],
+    )
+    assert 0 < res["files_in"] < len(files_before)
+    untouched = {f.path for f in table.files()} & files_before
+    assert untouched  # non-matching files kept as-is
+    assert table.content_fingerprint(FP_COLS) == fp
+
+
 def test_hilbert_curve_variant(table):
     fp = table.content_fingerprint(FP_COLS)
     table.zorder(["repo", "lang"], curve="hilbert", target_file_bytes=512 * 1024, run_ts=TS)
