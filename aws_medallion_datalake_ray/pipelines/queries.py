@@ -571,6 +571,39 @@ def q23_session_windows(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q24_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles, distributed: per-batch histograms over
+    integer cents (bounded key space) merged by a small groupby — no global
+    sort.  Matches DuckDB quantile_disc exactly (lower-nearest element)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64()
+        )
+        vals, counts = np.unique(np.asarray(cents), return_counts=True)
+        return pa.table(
+            {"cents": pa.array(vals, pa.int64()), "p_n": pa.array(counts, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    total = int(agg["n"].sum())
+    cum = agg["n"].cumsum()
+    out = {"n_rows": total}
+    for q in (0.25, 0.5, 0.75, 0.9):
+        k = int(np.ceil(q * total))  # quantile_disc: smallest x with cum >= ceil(q*n)
+        idx = int(np.searchsorted(cum.to_numpy(), k))
+        out[f"p{int(q*100)}"] = round(agg["cents"].iloc[idx] / 100.0, 2)
+    return pd.DataFrame([out])
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -724,6 +757,14 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY window_start ORDER BY window_start
     """,
+    "q24_price_quantiles": """
+        SELECT count(*) AS n_rows,
+               round(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
+               round(quantile_disc(l_extendedprice, 0.5), 2)  AS p50,
+               round(quantile_disc(l_extendedprice, 0.75), 2) AS p75,
+               round(quantile_disc(l_extendedprice, 0.9), 2)  AS p90
+        FROM lineitem
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -767,4 +808,5 @@ SQL_QUERIES = {
     "q21_parts_in_lineitem": q21_parts_in_lineitem,
     "q22_sliding_windows": q22_sliding_windows,
     "q23_session_windows": q23_session_windows,
+    "q24_price_quantiles": q24_price_quantiles,
 }

@@ -100,6 +100,12 @@ class Ledger:
             self.state["metrics"] = metrics
         self._save()
 
+    def abandon(self) -> None:
+        """Mark a dead job abandoned: its uncommitted output files stop being
+        GC-protected (the crash-cleanup path — a job that will never commit
+        must not pin orphans forever)."""
+        self.finish(status="abandoned")
+
     @property
     def job_metrics(self) -> dict:
         agg: dict[str, float] = {}

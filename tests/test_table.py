@@ -162,7 +162,7 @@ def test_gc_protects_inflight_ledger_outputs(table):
     # job still "running" -> protected
     deleted = table.gc_orphans()
     assert rel not in deleted and os.path.exists(table.abs(rel))
-    led.finish()
+    led.abandon()  # crash-cleanup: abandoned jobs stop pinning orphans
     deleted = table.gc_orphans()
     assert rel in deleted
 
