@@ -195,7 +195,49 @@ class BandEmitter(MinHasher):
         self.rows_per_band = num_perm // bands
 
     def signatures(self, texts) -> np.ndarray:
-        return np.stack([self.signature(str(t)) for t in texts])
+        """Vectorized batch minhash: ONE stable hash call for every token in
+        the batch, rolling-polynomial k-shingle hashes (k shifted multiplies,
+        no per-shingle python), and per-doc minima via ``minimum.reduceat``
+        over the concatenated shingle array.  Multiset min == set min, so no
+        dedup/sort is needed.  ~10x less allocation churn than per-doc loops
+        — this is what keeps per-core throughput flat at high worker counts.
+        """
+        from aws_medallion_datalake_ray.functions.hashing import hash_col
+
+        k = self.k
+        tok_lists = [str(t).split() for t in texts]
+        counts = np.array([max(len(tl), k) for tl in tok_lists], dtype=np.int64)
+        all_toks = []
+        for tl in tok_lists:
+            if len(tl) < k:
+                tl = tl + [""] * (k - len(tl))
+            all_toks.extend(tl)
+        if not all_toks:
+            return np.zeros((len(tok_lists), self.num_perm), dtype=np.uint64)
+        th = hash_col(np.array(all_toks, dtype=object))
+
+        # rolling polynomial over k consecutive token hashes, within-doc only
+        B = np.uint64(1099511628211)
+        n = len(th)
+        with np.errstate(over="ignore"):
+            sh = th[: n - k + 1].copy()
+            for j in range(1, k):
+                sh = sh * B + th[j : n - k + 1 + j]
+        # valid shingle windows: those fully inside one doc
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        n_sh = counts - k + 1  # >= 1 by construction
+        idx = np.concatenate(
+            [np.arange(s, s + m) for s, m in zip(starts, n_sh)]
+        )
+        sh = sh[idx]
+        offsets = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+
+        with np.errstate(over="ignore"):
+            sigs = np.empty((self.num_perm, len(offsets)), dtype=np.uint64)
+            for i in range(self.num_perm):
+                vals = (sh * self.a[i] + self.b[i]) % np.uint64(_MERSENNE)
+                sigs[i] = np.minimum.reduceat(vals, offsets)
+        return sigs.T.copy()
 
     def buckets_of(self, texts) -> np.ndarray:
         """(n_docs, bands) uint64 bucket ids (vectorized fold per band)."""

@@ -602,13 +602,15 @@ class LakeTable:
         if isinstance(updates, pa.Table):
             updates = ray.data.from_arrow(updates)
 
-        if strategy == "partitioned" or (
-            strategy == "auto" and updates.count() > broadcast_threshold
-        ):
+        n_raw = updates.count()
+        if strategy == "partitioned" or (strategy == "auto" and n_raw > broadcast_threshold):
             return self.merge_partitioned(
                 updates, key=key, run_ts=run_ts, job_id=job_id,
                 num_partitions=dedup_partitions,
             )
+        # the broadcast path re-reads the update stream up to 3x (keys, dup
+        # split, final union); pin it in the object store once
+        updates = updates.materialize()
 
         # --- collect update keys (key columns only; content never moves)
         key_parts: list[np.ndarray] = []

@@ -27,9 +27,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "800000"))
-# actor pools take half the CPUs; the other half feeds them (read/shuffle
-# tasks) — a pool that reserves every CPU starves its own input
-POOL = max(2, NUM_CPUS // 2)
+# actor pools take 3/4 of the CPUs (compute-heavy stages), the rest feeds
+# them — a pool that reserves every CPU starves its own input, one that
+# takes only half idles cores during the scan-heavy stages
+POOL = max(2, (3 * NUM_CPUS) // 4)
 TS = "2024-01-01T00:00:00"
 FP_COLS = ("repo", "path", "commit", "lang", "content")
 
