@@ -308,6 +308,25 @@ class LakeTable:
             added, [], operation, run_ts, schema_json=self._file_schema(added)
         )
 
+    def add_files(
+        self, paths: Iterable[str], run_ts: str = "1970-01-01T00:00:00"
+    ) -> Snapshot:
+        """Register EXISTING parquet files into the table without copying
+        (Iceberg add_files semantics) — at 100 TB, ingest means adopting
+        files in place, not rewriting them.  Footer stats are collected in
+        parallel; the files stay where they are (absolute paths in the
+        manifest) and are never touched by orphan GC, which only walks the
+        table's own data dir."""
+        abs_paths = [os.path.abspath(p) for p in paths]
+        stats = collect_stats(abs_paths, self.stats_cols)
+        added = [
+            DataFile(path=p, rows=r, bytes=b, stats=s)
+            for p, (r, b, s) in zip(abs_paths, stats)
+        ]
+        return self.store.commit(
+            added, [], "add-files", run_ts, schema_json=self._file_schema(added)
+        )
+
     def overwrite(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
         added = self._write_dataset(data)
         removed = [f.path for f in self.store.files()]

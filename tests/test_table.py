@@ -167,6 +167,27 @@ def test_gc_protects_inflight_ledger_outputs(table):
     assert rel in deleted
 
 
+def test_add_files_registers_without_copy(tmp_path, source_files_small):
+    """Iceberg-style add_files: external parquet adopted in place; compaction
+    rewrites them into owned files; GC never touches the originals."""
+    ext = tmp_path / "external"
+    ext.mkdir()
+    for i in range(4):
+        pq.write_table(source_files_small.slice(i * 400, 400), str(ext / f"e{i}.parquet"))
+    t = LakeTable.create(str(tmp_path / "tbl2"))
+    snap = t.add_files([str(ext / f"e{i}.parquet") for i in range(4)], run_ts=TS)
+    assert snap.operation == "add-files"
+    assert t.scan().count() == 1600
+    assert all(f.stats.get("repo") for f in t.files())  # stats collected
+    fp = t.content_fingerprint(FP_COLS)
+    t.compact(target_file_bytes=8 * 1024 * 1024, run_ts=TS)
+    t.expire_snapshots(keep_last=1)
+    t.gc_orphans()
+    assert t.content_fingerprint(FP_COLS) == fp
+    # originals untouched on disk
+    assert all(os.path.exists(str(ext / f"e{i}.parquet")) for i in range(4))
+
+
 def test_history_and_rollback(table, source_files_small):
     sid_before = table.store.head_id()
     fp_before = table.content_fingerprint(FP_COLS)
