@@ -887,6 +887,40 @@ class LakeTable:
         )
         return (int(out["sum(h1)"]) % P1) * P2 + (int(out["sum(h2)"]) % P2)
 
+    def sha256_checksum(
+        self, col: str = "content", snapshot_id: int | None = None
+    ) -> int:
+        """Order-insensitive multiset checksum of per-row **sha256(col)** —
+        the BASELINE.json verification invariant, literally: each row's
+        content is sha256-hashed on the workers, digests are folded into two
+        modular sums, the driver sees one integer.  Equal iff the multiset of
+        per-row content digests is equal (collision odds ~1e-18)."""
+        from ray.data.aggregate import Sum
+
+        from aws_medallion_datalake_ray.functions.hashing import sha256_col
+
+        P1, P2 = (1 << 31) - 1, (1 << 29) - 3
+
+        def partial(batch: pa.Table) -> pa.Table:
+            digests = sha256_col(batch[col])
+            ints = np.array(
+                [0 if d is None else int(d[:16], 16) for d in digests], dtype=np.uint64
+            )
+            s1 = int((ints % np.uint64(P1)).sum(dtype=np.uint64)) % P1
+            s2 = int((ints % np.uint64(P2)).sum(dtype=np.uint64)) % P2
+            return pa.table(
+                {"h1": pa.array([s1], pa.int64()), "h2": pa.array([s2], pa.int64())}
+            )
+
+        if not self.files(snapshot_id):
+            return 0
+        out = (
+            self.scan(snapshot_id=snapshot_id, columns=[col])
+            .map_batches(partial, batch_format="pyarrow")
+            .aggregate(Sum("h1"), Sum("h2"))
+        )
+        return (int(out["sum(h1)"]) % P1) * P2 + (int(out["sum(h2)"]) % P2)
+
     def content_fingerprint(self, cols: Sequence[str], snapshot_id: int | None = None) -> str:
         """Order-insensitive fingerprint of the table = sha256 over the sorted
         per-row hashes of ``cols``.  Maintenance ops must keep it invariant."""

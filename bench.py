@@ -117,6 +117,7 @@ def run_bench() -> dict:
         lambda: table.merge(ray.data.read_parquet(upd_path), run_ts=TS),
     )
     checksum1 = step("scan_checksum_post", lambda: table.content_checksum(FP_COLS))
+    sha256_post = step("scan_sha256_verify", lambda: table.sha256_checksum("content"))
 
     from aws_medallion_datalake_ray.functions.dedup import near_dup_candidate_count
 
@@ -212,6 +213,7 @@ def run_bench() -> dict:
         # merge then changes it by design (checksum recorded for the record)
         "checksum_invariant_compact_zorder": checksum0 == checksum_mid,
         "checksum_post_merge": checksum1,
+        "sha256_multiset_post_merge": sha256_post,
         "near_dup": dup_stats,
         "quality": quality_stats,
         "repo_scan_files_frac": pruned_frac,

@@ -51,12 +51,15 @@ def test_scan_predicate_prunes_files(table):
 
 
 def test_compact_preserves_content_and_reduces_files(table):
+    # the literal north-star invariant: per-row sha256(content) multiset
+    sha_before = table.sha256_checksum("content")
     fp_before = table.content_fingerprint(FP_COLS)
     n_before = len(table.files())
     res = table.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
     assert res["files_out"] < res["files_in"]
     assert len(table.files()) < n_before
     assert table.content_fingerprint(FP_COLS) == fp_before
+    assert table.sha256_checksum("content") == sha_before
 
 
 def test_compact_is_resumable(table):
