@@ -604,6 +604,41 @@ def q24_price_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
+def q25_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (window rank per partition): broadcast the customer→
+    segment map, then per-segment top-3 orders by price — per-batch local
+    top-k partials keep the shuffle tiny (combiner for rank queries)."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def local_topk(t: pa.Table, ref=seg_ref) -> pa.Table:
+        seg = ray.get(ref)
+        df = t.to_pandas()
+        df["segment"] = df["o_custkey"].map(seg)
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby("segment", sort=False).head(3)[
+                ["segment", "o_orderkey", "o_totalprice"]
+            ],
+            preserve_index=False,
+        )
+
+    # two-level top-k: local per batch, then exact on the tiny union
+    part = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    part = part.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    top = part.groupby("segment", sort=False).head(3).copy()
+    top["rank"] = top.groupby("segment").cumcount() + 1
+    return top[["segment", "rank", "o_orderkey", "o_totalprice"]].sort_values(
+        ["segment", "rank"]
+    ).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -757,6 +792,16 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY window_start ORDER BY window_start
     """,
+    "q25_top_orders_per_segment": """
+        SELECT segment, rank, o_orderkey, o_totalprice FROM (
+            SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rank <= 3
+        ORDER BY segment, rank
+    """,
     "q24_price_quantiles": """
         SELECT count(*) AS n_rows,
                round(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
@@ -809,4 +854,5 @@ SQL_QUERIES = {
     "q22_sliding_windows": q22_sliding_windows,
     "q23_session_windows": q23_session_windows,
     "q24_price_quantiles": q24_price_quantiles,
+    "q25_top_orders_per_segment": q25_top_orders_per_segment,
 }
