@@ -639,6 +639,40 @@ def q25_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q26_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Pairwise character-3-gram Jaccard over a small doc subset (near-dup
+    verification kernel, oracle-checked): texts broadcast once, the pair list
+    is the distributed axis."""
+    from aws_medallion_datalake_ray.functions.dedup import ngram_jaccard
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.filter(pc.less(docs["doc_id"], 12))
+    texts_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
+    ids = sorted(docs["doc_id"].to_pylist())
+    pairs = pa.table(
+        {
+            "id_a": pa.array([a for i, a in enumerate(ids) for _ in ids[i + 1:]], pa.int64()),
+            "id_b": pa.array([b for i, _ in enumerate(ids) for b in ids[i + 1:]], pa.int64()),
+        }
+    )
+
+    def score(t: pa.Table, ref=texts_ref) -> pa.Table:
+        texts = ray.get(ref)
+        sims = [
+            round(ngram_jaccard(texts[a], texts[b], 3), 4)
+            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
+        ]
+        return t.append_column("jaccard", pa.array(sims, pa.float64()))
+
+    out = (
+        ray.data.from_arrow(pairs)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out[out["jaccard"] > 0]  # SQL's gram inner-join omits zero-overlap pairs
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -792,6 +826,26 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY window_start ORDER BY window_start
     """,
+    "q26_ngram_jaccard_pairs": """
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 12),
+        pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS i
+            FROM docs
+        ),
+        grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b, round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        ORDER BY id_a, id_b
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -855,4 +909,5 @@ SQL_QUERIES = {
     "q23_session_windows": q23_session_windows,
     "q24_price_quantiles": q24_price_quantiles,
     "q25_top_orders_per_segment": q25_top_orders_per_segment,
+    "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
 }
