@@ -35,7 +35,14 @@ def sliding_assign(
     with shifted window starts.
     """
     n_windows = size_hours // slide_hours
-    base = pc.floor_temporal(batch[ts_col], unit="hour")  # slide granularity = 1h
+    base = pc.floor_temporal(batch[ts_col], unit="hour")
+    if slide_hours > 1:
+        # align to the slide grid: floor epoch-us to a multiple of slide_hours
+        # (truncating int division is floor for the non-negative epochs here)
+        slide_us = slide_hours * 3_600_000_000
+        us = pc.cast(pc.cast(base, pa.timestamp("us")), pa.int64())
+        aligned = pc.multiply(pc.divide(us, slide_us), slide_us)
+        base = pc.cast(pc.cast(aligned, pa.timestamp("us")), base.type)
     parts = []
     for k in range(n_windows):
         shifted = pc.subtract(

@@ -65,18 +65,11 @@ def incremental_promote(
         ledger.mark_running(pname, files)
         ds = transform(ray.data.read_parquet(files))
         snap = target.append(ds, run_ts=run_ts, operation=f"incremental:{pname}")
-        out_files = [
-            f.path
-            for f in target.store.files(snap)
-            if f.path not in {x.path for x in target.store.files(snap.parent_id)}
-        ] if snap.parent_id else [f.path for f in target.store.files(snap)]
-        rows = sum(
-            f.rows for f in target.store.files(snap)
-        ) - (
-            sum(f.rows for f in target.store.files(snap.parent_id))
-            if snap.parent_id
-            else 0
-        )
+        snap_files = target.store.files(snap)
+        parent_files = target.store.files(snap.parent_id) if snap.parent_id else []
+        parent_paths = {x.path for x in parent_files}
+        out_files = [f.path for f in snap_files if f.path not in parent_paths]
+        rows = sum(f.rows for f in snap_files) - sum(f.rows for f in parent_files)
         ledger.mark_completed(
             pname, files, out_files, {"rows_out": rows, "snapshot_id": snap.snapshot_id}
         )

@@ -52,11 +52,17 @@ def parquet_footer_stats(
     want = [c for c in stats_cols if c in names]
     col_idx = {c: names.index(c) for c in want}
     agg: dict[str, dict[str, Any]] = {c: {"min": None, "max": None, "nulls": 0} for c in want}
+    # A row group without statistics (or without min/max while holding non-null
+    # values) makes the whole file unbounded for that column — later row groups
+    # must NOT repopulate bounds, or pruning would skip files whose stats-less
+    # group contains matching rows.  Reachable via add_files of external parquet.
+    unbounded: set[str] = set()
     for rg in range(md.num_row_groups):
+        rg_md = md.row_group(rg)
         for c, i in col_idx.items():
-            st = md.row_group(rg).column(i).statistics
+            st = rg_md.column(i).statistics
             if st is None:
-                agg[c]["min"] = agg[c]["max"] = None  # unknown -> unbounded
+                unbounded.add(c)
                 continue
             a = agg[c]
             if st.null_count is not None:
@@ -66,7 +72,13 @@ def parquet_footer_stats(
                     a["min"] = st.min
                 if a["max"] is None or st.max > a["max"]:
                     a["max"] = st.max
+            elif st.null_count is None or st.null_count < rg_md.num_rows:
+                # values (possibly) present but no bounds recorded
+                unbounded.add(c)
     for c, a in agg.items():
+        if c in unbounded:
+            a["min"] = a["max"] = None
+            continue
         a["min"] = _json_safe(a["min"], is_upper=False)
         a["max"] = _json_safe(a["max"], is_upper=True)
     return md.num_rows, os.path.getsize(abs_path), agg

@@ -167,7 +167,14 @@ class ManifestStore:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                     if age > _LOCK_STALE_SEC:
-                        os.unlink(lock)  # steal stale lock
+                        # steal by rename-to-unique: only one stealer can win,
+                        # and a fresh lock created meanwhile is never unlinked
+                        stale = f"{lock}.stale-{os.getpid()}-{time.monotonic_ns()}"
+                        try:
+                            os.rename(lock, stale)
+                            os.unlink(stale)
+                        except FileNotFoundError:
+                            pass
                         continue
                 except FileNotFoundError:
                     continue

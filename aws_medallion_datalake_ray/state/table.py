@@ -352,7 +352,16 @@ class LakeTable:
         if not files:
             schema = self.schema() or pa.schema([])
             if columns:
-                schema = pa.schema([schema.field(c) for c in columns])
+                # columns absent from the (possibly empty) schema come back
+                # null-typed rather than raising
+                schema = pa.schema(
+                    [
+                        schema.field(c)
+                        if schema.get_field_index(c) >= 0
+                        else pa.field(c, pa.null())
+                        for c in columns
+                    ]
+                )
             return ray.data.from_arrow(schema.empty_table())
         return ray.data.read_parquet(
             [self.abs(f.path) for f in files],
