@@ -117,8 +117,28 @@ class MinHasher:
         return m.min(axis=1)
 
 
+def shingle_hashes64(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique 64-bit rolling-polynomial hashes of k-token shingles.
+
+    64-bit (vs the crc32 ``shingle_set``) so distinct-shingle counting in the
+    exact-Jaccard verify kernel can't be perturbed by 32-bit collisions at
+    corpus scale; uses the same stable token hash as the MinHash signatures.
+    """
+    toks = str(text).split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    th = hash_col(np.array(toks, dtype=object))
+    B = np.uint64(1099511628211)
+    n = len(th)
+    with np.errstate(over="ignore"):
+        sh = th[: n - k + 1].copy()
+        for j in range(1, k):
+            sh = sh * B + th[j : n - k + 1 + j]
+    return np.unique(sh)
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
-    sa, sb = shingle_set(text_a, k), shingle_set(text_b, k)
+    sa, sb = shingle_hashes64(text_a, k), shingle_hashes64(text_b, k)
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return inter / union if union else 1.0
@@ -133,18 +153,29 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash per document (stable token hashes, vectorized bit sums)."""
-    bit_idx = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, s in enumerate(texts.fillna("")):
-        toks = s.split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = hash_col(np.array(toks, dtype=object))
-        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    """64-bit SimHash per document, batch-vectorized: ONE stable hash call for
+    every token in the batch, per-doc bit-vote sums via ``add.reduceat`` — no
+    per-document Python loop (same pattern as ``BandEmitter.signatures``)."""
+    tok_lists = [str(s).split() for s in texts.fillna("")]
+    counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    out = np.zeros(len(tok_lists), dtype=np.uint64)
+    all_toks = [t for tl in tok_lists for t in tl]
+    if not all_toks:
+        return out
+    hs = hash_col(np.array(all_toks, dtype=object))
+    nz = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    # per-bit 1-D reduceat over the contiguous token-hash array: 64 cheap
+    # contiguous passes beat one strided 2-D reduceat by ~80x
+    sums = np.empty((len(starts), 64), dtype=np.int64)
+    one = np.uint64(1)
+    for b in range(64):
+        sums[:, b] = np.add.reduceat(
+            (hs >> np.uint64(b)) & one, starts
+        ).astype(np.int64)
+    votes = 2 * sums - counts[nz][:, None]  # (+1 per 1-bit, -1 per 0-bit)
+    packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+    out[nz] = packed.view(np.uint64).ravel()
     return out
 
 
@@ -319,6 +350,199 @@ def near_dup_candidate_count(
     }
 
 
+def _bucket_pairs_fn(id_col: str, max_bucket: int):
+    """Candidate pairs within one LSH bucket, with a mega-bucket cap.
+
+    All-pairs for buckets up to ``max_bucket`` ids; above that, sorted
+    consecutive-chain pairs (O(n) instead of O(n²)) — the chain preserves
+    cluster *connectivity* for dedup-removal semantics while bounding work
+    when an all-similar corpus lands every doc in one bucket."""
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        if len(ids) <= max_bucket:
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+
+    return pairs_in_bucket
+
+
+class PairVerifier:
+    """Actor-pool verify stage (broadcast texts): exact shingle-Jaccard per
+    candidate pair.  The candidate text dict is ``ray.get`` once per actor;
+    shingle arrays are computed once per doc and cached across pairs/batches
+    (docs repeat across many pairs)."""
+
+    def __init__(self, texts_ref, id_cols=("id_a", "id_b"), shingle_k: int = 5):
+        import ray as _ray
+
+        self.texts = _ray.get(texts_ref) if not isinstance(texts_ref, dict) else texts_ref
+        self.id_a, self.id_b = id_cols
+        self.k = shingle_k
+        self._cache: dict = {}
+
+    def _sh(self, i):
+        s = self._cache.get(i)
+        if s is None:
+            s = shingle_hashes64(self.texts[i], self.k)
+            self._cache[i] = s
+        return s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sims = np.empty(t.num_rows, dtype=np.float64)
+        for j, (a, b) in enumerate(
+            zip(t[self.id_a].to_pylist(), t[self.id_b].to_pylist())
+        ):
+            sa, sb = self._sh(a), self._sh(b)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            sims[j] = inter / union if union else 1.0
+        return t.append_column("jaccard", pa.array(sims, pa.float64()))
+
+
+def _verify_pairs_texts(t: pa.Table, shingle_k: int = 5) -> pa.Table:
+    """Stateless verify for the joined path: pairs carry text_a/text_b columns;
+    a per-batch shingle cache keyed by id amortizes repeated docs."""
+    cache: dict = {}
+
+    def sh(i, txt):
+        s = cache.get(i)
+        if s is None:
+            s = shingle_hashes64(txt, shingle_k)
+            cache[i] = s
+        return s
+
+    sims = np.empty(t.num_rows, dtype=np.float64)
+    for j, (a, b, ta, tb) in enumerate(
+        zip(
+            t["id_a"].to_pylist(), t["id_b"].to_pylist(),
+            t["text_a"].to_pylist(), t["text_b"].to_pylist(),
+        )
+    ):
+        sa, sb = sh(a, ta), sh(b, tb)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        sims[j] = inter / union if union else 1.0
+    return pa.table(
+        {"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": pa.array(sims, pa.float64())}
+    )
+
+
+def near_dup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 512,
+    broadcast_threshold: int = 200_000,
+    concurrency=(2, 16),
+):
+    """MinHash+LSH near-duplicate pairs, fully distributed: returns a Dataset
+    of (id_a, id_b, jaccard) with exact shingle-Jaccard >= threshold.
+
+    Pipeline shape (nothing big touches the driver):
+
+    1. vectorized signature+banding actor pool -> (id, bucket) rows — only
+       8-byte buckets + ids shuffle, never texts;
+    2. ``groupby(bucket).map_groups`` -> candidate pairs (mega-buckets fall
+       back to consecutive-chain pairs, see ``_bucket_pairs_fn``);
+    3. distinct pairs via hash-partitioned dedup (a pair collides in many
+       bands);
+    4. candidate doc ids via distributed ``unique`` (ids only — the one
+       driver-side artifact, 8 bytes per colliding doc);
+    5. exact verify: candidate texts semi-joined from the corpus; **broadcast
+       plan** (candidate set fits the object store: texts ``ray.put`` once,
+       verified on an actor pool with per-actor shingle caches) or **joined
+       plan** (``Dataset.join`` pairs⋈texts twice, stateless verify) above
+       ``broadcast_threshold`` candidates.
+    """
+    import ray as _ray
+    import ray.data as _rd
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        BandEmitter,
+        fn_constructor_kwargs={
+            "id_col": id_col, "text_col": text_col, "bands": bands,
+            "num_perm": num_perm, "shingle_k": shingle_k,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    pairs = (
+        banded.groupby("bucket")
+        .map_groups(_bucket_pairs_fn(id_col, max_bucket), batch_format="pandas")
+    )
+    pairs = exact_dedup(pairs, ("id_a", "id_b")).materialize()
+
+    def _ids_of(t: pa.Table) -> pa.Table:
+        ca, cb = t["id_a"], t["id_b"]
+        chunks = list(ca.chunks) + list(cb.chunks)
+        return pa.table({"cid": pa.chunked_array(chunks, type=ca.type)})
+
+    cand_ids = np.array(
+        sorted(pairs.map_batches(_ids_of, batch_format="pyarrow").unique("cid") or [])
+    )
+    if len(cand_ids) == 0:
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ids_ref = _ray.put(cand_ids)
+
+    def _semi_ids(t: pa.Table, ref=ids_ref) -> pa.Table:
+        keys = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        v = np.asarray(t[id_col].to_pandas())
+        idx = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == v))
+
+    cand_texts = ds.select_columns([id_col, text_col]).map_batches(
+        _semi_ids, batch_format="pyarrow"
+    )
+
+    if len(cand_ids) <= broadcast_threshold:
+        texts: dict = {}
+        for b in cand_texts.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+        texts_ref = _ray.put(texts)
+        verified = pairs.map_batches(
+            PairVerifier,
+            fn_constructor_kwargs={"texts_ref": texts_ref, "shingle_k": shingle_k},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        # join aggregators are actors: more partitions than CPUs deadlocks a
+        # small cluster (each aggregator waits for a core), so size to ~half
+        # the CPUs — at 256 nodes this still gives hundreds of partitions
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        nparts = max(2, ncpu // 2)
+        ta = cand_texts.map_batches(
+            lambda t: t.rename_columns(["id_a", "text_a"]), batch_format="pyarrow"
+        )
+        tb = cand_texts.map_batches(
+            lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
+        )
+        joined = pairs.join(ta, join_type="inner", num_partitions=nparts, on=("id_a",))
+        joined = joined.join(tb, join_type="inner", num_partitions=nparts, on=("id_b",))
+        verified = joined.map_batches(
+            _verify_pairs_texts,
+            fn_kwargs={"shingle_k": shingle_k},
+            batch_format="pyarrow",
+        )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
 def minhash_near_dups(
     ds,
     text_col: str = "text",
@@ -327,64 +551,24 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    max_bucket: int = 512,
 ) -> pa.Table:
-    """MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) for
-    verified pairs with Jaccard >= threshold.
-
-    Scale notes: the signature stage is an actor pool (hasher built once per
-    actor); banding explodes to (band, band_hash, id) and the candidate
-    groupby shuffles only those tiny rows, never the texts.  Verification
-    re-reads just the candidate docs (semi-join via broadcast id set).
-    """
-    rows_per_band = num_perm // bands
-
-    class Bander(MinHasher):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids, bnd, bh = [], [], []
-            for doc, text in zip(batch[id_col], batch[text_col]):
-                sig = self.signature(str(text))
-                for b in range(bands):
-                    band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    ids.append(doc)
-                    bnd.append(b)
-                    bh.append(int(np.bitwise_xor.reduce(band) % np.uint64(_MERSENNE)))
-            return pd.DataFrame({id_col: ids, "band": bnd, "band_hash": bh})
-
-    banded = ds.select_columns([id_col, text_col]).map_batches(
-        Bander,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=(1, 8),
+    """Materialized (small-result) wrapper over :func:`near_dup_pairs` —
+    returns a sorted Arrow table of verified (id_a, id_b, jaccard)."""
+    out = near_dup_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, threshold=threshold, max_bucket=max_bucket,
     )
-
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"id_a": a, "id_b": b})
-
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(pairs_in_group, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    df["jaccard"] = df["jaccard"].astype(float)
+    return pa.Table.from_pandas(
+        df.sort_values(["id_a", "id_b"]).reset_index(drop=True), preserve_index=False
     )
-    if cand.empty:
-        return pa.table({"id_a": [], "id_b": [], "jaccard": []})
-
-    # verify: fetch only candidate docs' texts (semi-join on id set)
-    need = set(cand["id_a"]) | set(cand["id_b"])
-    texts: dict = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=4096, batch_format="pandas"
-    ):
-        hitmask = b[id_col].isin(need)
-        for i, t in zip(b.loc[hitmask, id_col], b.loc[hitmask, text_col]):
-            texts[i] = str(t)
-    sims = [
-        jaccard(texts[x], texts[y], shingle_k) for x, y in zip(cand["id_a"], cand["id_b"])
-    ]
-    out = cand.assign(jaccard=sims)
-    out = out[out["jaccard"] >= threshold].sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -673,6 +673,37 @@ def q26_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q27_lsh_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Full distributed MinHash+LSH near-dup pipeline, oracle-checked
+    END-TO-END: banding actor pool -> bucket groupby -> candidate pairs ->
+    distributed exact shingle-Jaccard verify (``near_dup_pairs``) over
+    documents plus SQL-reproducible planted near-dups.  The DuckDB oracle
+    computes the same word-5-shingle Jaccard by exhaustive pair join, so any
+    LSH false negative above the threshold would hash-mismatch (bands=32 /
+    r=2 puts detection probability at >0.99 even at j=0.5; verified exact at
+    all three sf tiers)."""
+    from aws_medallion_datalake_ray.functions.dedup import near_dup_pairs
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.filter(pc.less(docs["doc_id"], 60))
+    extra = docs.filter(pc.less(docs["doc_id"], 10)).to_pandas()
+    extra["doc_id"] = extra["doc_id"] + 1000
+    extra["text"] = extra["text"] + " extra token"
+    corpus = pa.concat_tables(
+        [docs, pa.Table.from_pandas(extra, preserve_index=False)]
+    )
+    pairs = near_dup_pairs(
+        ray.data.from_arrow(corpus), text_col="text", id_col="doc_id",
+        num_perm=64, bands=32, shingle_k=5, threshold=0.5,
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    pairs["jaccard"] = pairs["jaccard"].map(lambda x: round(float(x), 4))
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -846,6 +877,37 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = i.id_b
         ORDER BY id_a, id_b
     """,
+    "q27_lsh_near_dup_pairs": """
+        -- exhaustive word-5-shingle Jaccard over documents + planted copies:
+        -- the ground truth the LSH pipeline must reproduce exactly
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 60
+            UNION ALL
+            SELECT doc_id + 1000, text || ' extra token'
+            FROM documents WHERE doc_id < 10
+        ),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' ||
+                   ts[CAST(i AS INT) + 2] || ' ' || ts[CAST(i AS INT) + 3] || ' ' ||
+                   ts[CAST(i AS INT) + 4] AS g
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM toks)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ORDER BY id_a, id_b
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -910,4 +972,5 @@ SQL_QUERIES = {
     "q24_price_quantiles": q24_price_quantiles,
     "q25_top_orders_per_segment": q25_top_orders_per_segment,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
+    "q27_lsh_near_dup_pairs": q27_lsh_near_dup_pairs,
 }

@@ -1,0 +1,157 @@
+"""Distributed near-dup pipeline: pairs (broadcast + joined plans), mega-bucket
+cap, and LakeTable.dedup_near copy-on-write removal with multiset invariants."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from aws_medallion_datalake_ray.functions.dedup import (
+    jaccard,
+    minhash_near_dups,
+    near_dup_pairs,
+)
+from aws_medallion_datalake_ray.state.table import LakeTable
+
+
+def _disjoint_corpus(n_docs: int = 40, doc_len: int = 30) -> pa.Table:
+    """Docs with pairwise-disjoint vocabularies — zero cross-doc Jaccard."""
+    texts = [
+        " ".join(f"w{i}_{j}" for j in range(doc_len)) for i in range(n_docs)
+    ]
+    return pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _plant(corpus: pa.Table, n: int, id_offset: int = 10_000) -> pa.Table:
+    df = corpus.slice(0, n).to_pandas()
+    df["doc_id"] = df["doc_id"] + id_offset
+    df["text"] = df["text"] + " extra"
+    return pa.concat_tables(
+        [corpus, pa.Table.from_pandas(df, preserve_index=False)]
+    )
+
+
+def test_near_dup_pairs_exactly_planted(ray_session):
+    corpus = _plant(_disjoint_corpus(), 6)
+    out = minhash_near_dups(
+        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32
+    )
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == {(i, i + 10_000) for i in range(6)}
+    # exact jaccard values match the kernel
+    texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+    for a, b, j in zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                       out["jaccard"].to_pylist()):
+        assert j == pytest.approx(jaccard(texts[a], texts[b]))
+
+
+def test_near_dup_pairs_joined_plan_matches_broadcast(ray_session):
+    corpus = _plant(_disjoint_corpus(), 6)
+    broad = minhash_near_dups(
+        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32
+    ).to_pandas()
+    joined = (
+        near_dup_pairs(
+            ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32,
+            broadcast_threshold=0,  # force the Dataset.join verify plan
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(broad, joined, check_like=True)
+
+
+def test_mega_bucket_chain_bounded(ray_session):
+    """An all-identical corpus lands in one bucket; the chain fallback keeps
+    pair count O(n) and removal still keeps exactly one representative."""
+    n = 200
+    t = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "text": pa.array(["same text " * 10] * n, pa.string())}
+    )
+    out = minhash_near_dups(
+        ray.data.from_arrow(t), threshold=0.9, max_bucket=16
+    )
+    # chain pairs: far fewer than n^2/2, and connectivity covers every doc
+    assert out.num_rows < 4 * n
+    removed = set(out["id_b"].to_pylist())
+    assert set(range(n)) - removed == {0}
+
+
+def test_dedup_near_sha256_multiset_exact(tmp_path, ray_session):
+    """Removal set == planted set exactly on a no-background-dup corpus; the
+    survivors' sha256 multiset equals the original base's."""
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    base_df = pd.DataFrame(
+        {
+            "repo": [f"org/r{i % 4}" for i in range(40)],
+            "path": [f"src/f{i}.py" for i in range(40)],
+            "commit": [f"{i:040x}" for i in range(40)],
+            "lang": ["py"] * 40,
+            "content": [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(40)],
+        }
+    )
+    base = pa.Table.from_pandas(base_df, preserve_index=False).cast(SOURCE_FILES_SCHEMA)
+    dup_df = base_df.head(6).copy()
+    dup_df["path"] = "zzz_" + dup_df["path"]
+    dup_df["commit"] = [f"f{i:039x}" for i in range(6)]
+    dup_df["content"] = dup_df["content"] + " extra"
+    dups = pa.Table.from_pandas(dup_df, preserve_index=False).cast(SOURCE_FILES_SCHEMA)
+
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.concat_tables([base, dups]))
+    t_base = LakeTable.create(str(tmp_path / "base_only"))
+    t_base.append(base)
+
+    res = t.dedup_near(text_col="content", threshold=0.5)
+    assert res["rows_deleted"] == 6 and res["near_dup_rows"] == 6
+    assert t.scan().count() == 40
+    assert t.sha256_checksum("content") == t_base.sha256_checksum("content")
+
+
+def test_dedup_near_noop_on_unique_corpus(tmp_path, ray_session):
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    base_df = pd.DataFrame(
+        {
+            "repo": ["org/r0"] * 10,
+            "path": [f"src/f{i}.py" for i in range(10)],
+            "commit": [f"{i:040x}" for i in range(10)],
+            "lang": ["py"] * 10,
+            "content": [" ".join(f"u{i}_{j}" for j in range(25)) for i in range(10)],
+        }
+    )
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.Table.from_pandas(base_df, preserve_index=False).cast(SOURCE_FILES_SCHEMA))
+    head_before = t.store.head().snapshot_id
+    res = t.dedup_near(text_col="content", threshold=0.5)
+    assert res["rows_deleted" if "rows_deleted" in res else "removed_keys"] in (0,)
+    # no-op removal must not commit a new snapshot
+    assert t.store.head().snapshot_id == head_before
+    assert t.scan().count() == 10
+
+
+def test_delete_keys_empty_and_missing(tmp_path, ray_session):
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    df = pd.DataFrame(
+        {
+            "repo": ["org/r0"] * 4,
+            "path": [f"p{i}" for i in range(4)],
+            "commit": [f"{i:040x}" for i in range(4)],
+            "lang": ["py"] * 4,
+            "content": ["a b c d e f"] * 4,
+        }
+    )
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.Table.from_pandas(df, preserve_index=False).cast(SOURCE_FILES_SCHEMA))
+    assert t.delete_keys([])["affected_files"] == 0
+    # keys that match nothing: files may be scanned but no rows disappear
+    out = t.delete_keys(["org/zzz\x1fnope\x1f" + "0" * 40])
+    assert t.scan().count() == 4
