@@ -90,17 +90,36 @@ class TextAnalyzer:
 
     # ---------------------------------------------------------- quality
 
-    def quality(self, texts: pd.Series) -> pd.DataFrame:
+    def quality(self, texts: pd.Series, langs: pd.Series | None = None) -> pd.DataFrame:
         """Length / punctuation-ratio / stopword-ratio / mean-word-length
-        features + a composite [0,1] score (higher = more natural text)."""
+        features + a composite [0,1] score (higher = more natural text).
+
+        The stopword ratio uses the PREDICTED language's stopword regex (not
+        a hardcoded English list), so de/fr/es documents are not structurally
+        depressed; zh (no stopword table) substitutes the CJK character ratio
+        as its naturalness proxy."""
         self.__init_lang_regexes()
         t = texts.fillna("")
+        if langs is None:
+            langs = self.lang_scores(t)
+        langs = np.asarray(langs, dtype=object)
         n_chars = t.str.len().to_numpy(np.float64)
         n_tokens = t.str.count(self.ws).to_numpy(np.float64)
         n_punct = t.str.count(self.punct).to_numpy(np.float64)
         low = t.str.lower()
-        n_words = low.str.count(r"[a-z]+").clip(lower=1).to_numpy(np.float64)
-        stop_ratio = low.str.count(self._lang_res["en"]).to_numpy(np.float64) / n_words
+        n_words = low.str.count(r"[a-zà-ÿäöüß]+").clip(lower=1).to_numpy(np.float64)
+        stop_ratio = np.zeros(len(t), dtype=np.float64)
+        for lang, lang_re in self._lang_res.items():
+            mask = langs == lang
+            if mask.any():
+                sub = low[mask]
+                stop_ratio[mask] = sub.str.count(lang_re).to_numpy(np.float64) / n_words[mask]
+        other = ~np.isin(langs, list(self._lang_res))
+        if other.any():
+            # zh / und: CJK character density stands in for stopword density
+            sub = t[other]
+            cjk = sub.str.count(self.cjk).to_numpy(np.float64)
+            stop_ratio[other] = cjk / np.maximum(1.0, sub.str.len().to_numpy(np.float64))
         mean_word_len = n_chars / np.maximum(1, n_tokens)
         punct_ratio = n_punct / np.maximum(1, n_chars)
         score = (
@@ -164,9 +183,10 @@ class TextAnalyzer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col]
-        q = self.quality(t)
+        langs = self.lang_scores(t)
+        q = self.quality(t, langs=langs)
         for c in q.columns:
             batch[c] = q[c]
-        batch["lang_pred"] = self.lang_scores(t)
+        batch["lang_pred"] = langs
         batch["fingerprint"] = self.fingerprint(t)
         return batch

@@ -129,6 +129,66 @@ def silver_relatorio_expandido(batch: pa.Table) -> pa.Table:
 # ------------------------------------------------------------------ gold
 
 
+def _distinct(t: pa.Table) -> pa.Table:
+    """Whole-row distinct (small dim tables; dataset-level callers use
+    exact_dedup for the distributed variant)."""
+    return t.group_by(t.column_names).aggregate([]).select(t.column_names)
+
+
+def dim_obras(silver: pa.Table, run_ts: datetime) -> pa.Table:
+    """ref gold_digit_fixed.py:34-51 / doc GOLD :18-26: obra dimension —
+    distinct (obra_key, codigo_obra, nome_obra, endereco) + refresh stamp."""
+    t = _distinct(
+        pa.table(
+            {
+                "obra_key": silver["codigo_obra"],
+                "codigo_obra": silver["codigo_obra"],
+                "nome_obra": silver["descricao_obra"],
+                "endereco": silver["endereco"],
+            }
+        )
+    )
+    return cl.stamp_run_ts(t, "data_atualizacao", run_ts)
+
+
+def dim_funcionarios(silver: pa.Table, run_ts: datetime) -> pa.Table:
+    """ref gold_digit_fixed.py:53-69 / doc GOLD :28-34: funcionario dim."""
+    t = _distinct(
+        pa.table(
+            {
+                "funcionario_key": silver["codigo_funcionario"],
+                "codigo_funcionario": silver["codigo_funcionario"],
+                "nome_completo": silver["nome_completo"],
+            }
+        )
+    )
+    return cl.stamp_run_ts(t, "data_atualizacao", run_ts)
+
+
+def dim_cargos(silver: pa.Table, run_ts: datetime) -> pa.Table:
+    """ref gold_digit_fixed.py:71-87 / doc GOLD :36-40: cargo dim."""
+    t = _distinct(
+        pa.table(
+            {
+                "cargo_key": silver["codigo_cargo"],
+                "codigo_cargo": silver["codigo_cargo"],
+                "nome_cargo": silver["descricao_cargo"],
+            }
+        )
+    )
+    return cl.stamp_run_ts(t, "data_atualizacao", run_ts)
+
+
+def fato_resumo_obras(silver_resumo: pa.Table, run_ts: datetime) -> pa.Table:
+    """ref gold_digit_fixed.py:132-146: pass-through aggregate fact with a
+    gold processing stamp (obra_id doubles as the obra_key join column, cf.
+    sql/athena_gold_queries.sql:75-84)."""
+    t = silver_resumo.append_column(
+        "obra_key", silver_resumo["obra_id"]
+    )
+    return cl.stamp_run_ts(t, "data_processamento_gold", run_ts)
+
+
 def dim_tempo(dates: pa.Array, run_ts: datetime) -> pa.Table:
     """ref gold_digit_fixed.py:99-107 / doc GOLD :42-47: distinct dates ->
     calendar attributes."""

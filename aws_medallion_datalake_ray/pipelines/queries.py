@@ -126,7 +126,7 @@ def q02_top_customers(sf_dir: str) -> pd.DataFrame:
             .aggregate([("cents", "sum"), ("cents", "count")])
         )
         g = g.rename_columns(["c_custkey", "p_spent", "p_n"])
-        names = [names_map.get(k) for k in g["c_custkey"].to_pylist()]
+        names = pd.Series(g["c_custkey"].to_pandas()).map(names_map)
         return g.append_column("c_name", pa.array(names, pa.string()))
 
     out = (
@@ -454,7 +454,7 @@ def q17_supplier_regions(sf_dir: str) -> pd.DataFrame:
 
     def enrich(t: pa.Table, ref=lookup_ref) -> pa.Table:
         n2rname = ray.get(ref)
-        names = [n2rname.get(k) for k in t["s_nationkey"].to_pylist()]
+        names = pd.Series(t["s_nationkey"].to_pandas()).map(n2rname)
         cents = pc.cast(
             pc.round(pc.multiply(t["s_acctbal"], pa.scalar(100.0))), pa.int64()
         )
@@ -503,11 +503,12 @@ def q20_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join via broadcast key set (SURVEY J3): the orders key set ships
     once through the object store; each batch filters with a vectorized
     isin — no shuffle."""
+    # distributed distinct of the fact key column — only the distinct custkey
+    # set (dim cardinality) ever reaches the driver, never the raw column
     keys = np.sort(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
-        .to_numpy()
+        np.asarray(_read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey"))
     )
-    keys_ref = ray.put(np.ascontiguousarray(np.unique(keys)))
+    keys_ref = ray.put(np.ascontiguousarray(keys))
 
     def anti(t: pa.Table, ref=keys_ref) -> pa.Table:
         ks = ray.get(ref)  # zero-copy plasma fetch
@@ -529,9 +530,10 @@ def q20_customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 def q21_parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
     """Semi join via broadcast key set (SURVEY J3) + grouped count."""
-    keys = np.unique(
-        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])["l_partkey"]
-        .to_numpy()
+    # distributed distinct on the biggest table's key column (dim cardinality
+    # result) — the raw l_partkey column never reaches the driver
+    keys = np.sort(
+        np.asarray(_read(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey"))
     )
     keys_ref = ray.put(np.ascontiguousarray(keys))
 
@@ -702,6 +704,153 @@ def q27_lsh_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
                              "jaccard": pd.Series([], dtype="float64")})
     pairs["jaccard"] = pairs["jaccard"].map(lambda x: round(float(x), 4))
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q28/q29
+# Star-schema consumption over the ENGINE'S OWN gold tables — the wiring the
+# reference's sql/athena_gold_queries.sql:8-18,75-84 exercises against its
+# gold layer.  The gold tables (dim + facts) are PROMOTED through LakeTable
+# commits (gold_digit_fixed.py:148-157 semantics: overwrite + register), then
+# the consumption queries scan those tables snapshot-consistently; the DuckDB
+# oracle recomputes from the raw views, so a defect anywhere in the gold
+# build OR the star join mismatches.
+
+_gold_star_memo: dict = {}
+
+
+def _gold_star(sf_dir: str):
+    """Build (once per process per sf_dir) the gold star schema: dim_customer,
+    fato_orders, fato_resumo_customer as LakeTables."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    if sf_dir in _gold_star_memo:
+        return _gold_star_memo[sf_dir]
+    root = os.path.join(
+        tempfile.gettempdir(), f"amdl-gold-star-{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    # dim_customer: distinct via the engine's hash-partitioned dedup
+    dim = LakeTable.create(os.path.join(root, "dim_customer"),
+                           stats_cols=("c_custkey",))
+    dim_ds = exact_dedup(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]),
+        ("c_custkey",),
+    )
+    dim.overwrite(dim_ds)
+
+    # fato_orders: measures in integer cents (oracle float parity)
+    fact = LakeTable.create(os.path.join(root, "fato_orders"),
+                            stats_cols=("o_custkey",))
+
+    def to_fact(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": cents,
+            }
+        )
+
+    fact.overwrite(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(to_fact, batch_format="pyarrow")
+    )
+
+    # fato_resumo_customer: engine-aggregated rollup fact (athena #7 analog),
+    # combiner pattern: per-batch partial group-by before the keyed shuffle
+    resumo = LakeTable.create(os.path.join(root, "fato_resumo_customer"),
+                              stats_cols=("o_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["o_custkey", "p_cents", "p_n"])
+
+    resumo_ds = (
+        fact.scan(columns=["o_custkey", "cents"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_cents", alias_name="cents"), Sum("p_n", alias_name="n_orders"))
+    )
+    resumo.overwrite(resumo_ds)
+
+    _gold_star_memo[sf_dir] = (dim, fact, resumo)
+    return _gold_star_memo[sf_dir]
+
+
+def q28_gold_star_join(sf_dir: str) -> pd.DataFrame:
+    """Gold star-join consumption (athena_gold_queries.sql:8-18 shape): fact ⋈
+    broadcast dim -> per-segment totals + distinct-customer counts, scanned
+    from the engine's own gold LakeTables."""
+    dim, fact, _ = _gold_star(sf_dir)
+    dim_t = dim.to_arrow()
+    seg_ref = ray.put(
+        dict(zip(dim_t["c_custkey"].to_pylist(), dim_t["c_mktsegment"].to_pylist()))
+    )
+
+    def enrich(t: pa.Table, ref=seg_ref) -> pa.Table:
+        seg_map = ray.get(ref)
+        segs = pd.Series(t["o_custkey"].to_pandas()).map(seg_map)
+        g = (
+            pa.table(
+                {"segment": pa.array(segs, pa.string()), "cents": t["cents"]}
+            )
+            .group_by("segment")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return g.rename_columns(["segment", "p_cents", "p_n"])
+
+    agg = (
+        fact.scan(columns=["o_custkey", "cents"])
+        .map_batches(enrich, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("p_cents", alias_name="cents"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    # distinct customers per segment: the fact's distinct key set is dim-key
+    # cardinality (small side); distributed unique -> driver map
+    custs = fact.scan(columns=["o_custkey"]).unique("o_custkey")
+    seg_map = dim_t.to_pandas().set_index("c_custkey")["c_mktsegment"]
+    n_cust = pd.Series([seg_map[c] for c in custs]).value_counts()
+    agg["n_customers"] = agg["segment"].map(n_cust).astype("int64")
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    agg["total_price"] = (agg["cents"] / 100.0).round(2)
+    return agg[["segment", "n_orders", "n_customers", "total_price"]].sort_values(
+        "segment"
+    ).reset_index(drop=True)
+
+
+def q29_gold_resumo_top(sf_dir: str) -> pd.DataFrame:
+    """Rollup-fact consumption (athena_gold_queries.sql:75-84 shape): top-10
+    customers from the engine-built fato_resumo ⋈ dim names."""
+    dim, _, resumo = _gold_star(sf_dir)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # keep="all" keeps cent-ties at the boundary so the exact final
+        # tie-break (on c_name) still sees every candidate
+        df = t.to_pandas().nlargest(10, "cents", keep="all")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        resumo.scan()
+        .map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()
+        .nlargest(10, "cents", keep="all")
+    )
+    names = dim.to_arrow(columns=["c_custkey", "c_name"]).to_pandas().set_index(
+        "c_custkey"
+    )["c_name"]
+    cand["total_price"] = (cand["cents"] / 100.0).round(2)
+    cand["c_name"] = cand["o_custkey"].map(names)
+    cand["n_orders"] = cand["n_orders"].astype("int64")
+    top = cand.sort_values(["total_price", "c_name"], ascending=[False, True]).head(10)
+    return top[["c_name", "n_orders", "total_price"]].reset_index(drop=True)
 
 
 # ================================================================ oracle SQL
@@ -908,6 +1057,30 @@ ORACLE_SQL: dict[str, str] = {
         WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
         ORDER BY id_a, id_b
     """,
+    "q28_gold_star_join": """
+        -- recompute the gold star join from the raw views (the engine side
+        -- answers from its own promoted gold tables)
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_orders,
+               count(DISTINCT o.o_custkey) AS n_customers,
+               round(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """,
+    "q29_gold_resumo_top": """
+        SELECT c.c_name, r.n_orders, r.total_price
+        FROM (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                     AS total_price
+            FROM orders GROUP BY o_custkey
+        ) r JOIN customer c ON c.c_custkey = r.o_custkey
+        ORDER BY r.total_price DESC, c.c_name
+        LIMIT 10
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -973,4 +1146,6 @@ SQL_QUERIES = {
     "q25_top_orders_per_segment": q25_top_orders_per_segment,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
     "q27_lsh_near_dup_pairs": q27_lsh_near_dup_pairs,
+    "q28_gold_star_join": q28_gold_star_join,
+    "q29_gold_resumo_top": q29_gold_resumo_top,
 }

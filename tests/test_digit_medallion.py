@@ -145,3 +145,80 @@ def test_dim_tempo_and_fato():
         "data_processamento",
     ]
     assert fato["data_processamento"].to_pylist()[0] == RUN_TS
+
+
+def test_dim_obras_conformance():
+    """Column-for-column vs gold_digit_fixed.py:34-51 (obra_key, codigo_obra,
+    nome_obra, endereco, data_atualizacao) with .distinct() semantics."""
+    silver = pa.table(
+        {
+            "codigo_obra": ["O1", "O1", "O2"],
+            "descricao_obra": ["Torre A", "Torre A", "Torre B"],
+            "endereco": ["Rua 1", "Rua 1", "Av. 2"],
+            "data_inicio": ["2024-01-01", "2024-01-01", None],
+            "data_fim": [None, None, None],
+            "tipologia": ["res", "res", "com"],
+        }
+    )
+    dim = digit.dim_obras(silver, RUN_TS)
+    assert dim.column_names == [
+        "obra_key", "codigo_obra", "nome_obra", "endereco", "data_atualizacao",
+    ]
+    assert dim.num_rows == 2  # distinct collapsed the duplicate
+    by_key = {r["obra_key"]: r for r in dim.to_pylist()}
+    assert by_key["O1"]["nome_obra"] == "Torre A"
+    assert by_key["O2"]["endereco"] == "Av. 2"
+    assert by_key["O1"]["data_atualizacao"] == RUN_TS
+
+
+def test_dim_funcionarios_conformance():
+    """vs gold_digit_fixed.py:53-69."""
+    silver = pa.table(
+        {
+            "codigo_funcionario": ["F1", "F2", "F1"],
+            "nome_completo": ["Ana", "Bruno", "Ana"],
+            "cpf": ["1", "2", "1"],
+        }
+    )
+    dim = digit.dim_funcionarios(silver, RUN_TS)
+    assert dim.column_names == [
+        "funcionario_key", "codigo_funcionario", "nome_completo", "data_atualizacao",
+    ]
+    assert dim.num_rows == 2
+
+
+def test_dim_cargos_conformance():
+    """vs gold_digit_fixed.py:71-87."""
+    silver = pa.table(
+        {
+            "codigo_cargo": ["C1", "C2", "C2"],
+            "descricao_cargo": ["Eng", "Aux", "Aux"],
+            "codigo_obra": ["O1", None, None],
+        }
+    )
+    dim = digit.dim_cargos(silver, RUN_TS)
+    assert dim.column_names == [
+        "cargo_key", "codigo_cargo", "nome_cargo", "data_atualizacao",
+    ]
+    assert dim.num_rows == 2
+    by_key = {r["cargo_key"]: r for r in dim.to_pylist()}
+    assert by_key["C2"]["nome_cargo"] == "Aux"
+
+
+def test_fato_resumo_obras_conformance():
+    """vs gold_digit_fixed.py:132-146: pass-through + gold stamp + obra_key."""
+    silver = pa.table(
+        {
+            "obra_id": ["O1"],
+            "total_horas": [100.0],
+            "total_funcionarios": [5],
+            "dias_periodo": [30],
+        }
+    )
+    fato = digit.fato_resumo_obras(silver, RUN_TS)
+    assert fato.column_names == [
+        "obra_id", "total_horas", "total_funcionarios", "dias_periodo",
+        "obra_key", "data_processamento_gold",
+    ]
+    assert fato["obra_key"].to_pylist() == ["O1"]
+    assert fato["data_processamento_gold"].to_pylist()[0] == RUN_TS

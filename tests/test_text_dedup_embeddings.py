@@ -117,3 +117,26 @@ def test_ann_lsh_self_hit():
     )
     out = ann_lsh(ray.data.from_arrow(t), m[7], dim=8, k=3, n_planes=4, n_probe_bits=1)
     assert out["vec_id"].iloc[0] == 7  # query's own bucket contains it
+
+
+def test_quality_per_language_stopwords():
+    """de/fr/es natural text must score comparably to its English translation
+    (the stopword ratio follows the predicted language, not hardcoded en)."""
+    an = TextAnalyzer()
+    texts = pd.Series(
+        {
+            "en": "the cat is in the house and it is warm for the winter",
+            "de": "die katze ist in dem haus und es ist warm für den winter",
+            "fr": "le chat est dans la maison et il est chaud pour un hiver",
+            "es": "el gato es en la casa y es un calor para el invierno",
+        }
+    )
+    langs = an.lang_scores(texts)
+    assert langs.tolist() == ["en", "de", "fr", "es"]
+    q = an.quality(texts, langs=langs)
+    ratios = q["stopword_ratio"]
+    # every language's stopword ratio lands in the natural-text band
+    assert (ratios > 0.15).all(), ratios.tolist()
+    en_score = q["quality_score"]["en"]
+    for lang in ["de", "fr", "es"]:
+        assert abs(q["quality_score"][lang] - en_score) < 0.15, (lang, q["quality_score"])
