@@ -20,21 +20,44 @@ def _top_bits(h: np.ndarray, bits: int) -> np.ndarray:
     return (h >> np.uint64(64 - bits)).astype(np.uint64)
 
 
-def interleave_bits(cols: list[np.ndarray], bits_per_dim: int | None = None) -> np.ndarray:
+def interleave_bits(
+    cols: list[np.ndarray],
+    bits_per_dim: "int | list[int] | None" = None,
+    weights: "list[int] | None" = None,
+) -> np.ndarray:
     """Interleave the bits of k uint64 arrays into one Z-value.
 
-    bit layout (MSB first): c0[b-1], c1[b-1], ..., ck[b-1], c0[b-2], ...
-    so sorting by the result is a Z-order (Morton) curve over the k dims.
+    Uniform default (MSB first): c0[b-1], c1[b-1], ..., ck[b-1], c0[b-2], ...
+    — a Z-order (Morton) curve over the k dims.
+
+    ``weights`` makes the allocation NON-UNIFORM: each round emits
+    ``weights[i]`` bits of column i, so a selective leading column can own
+    the top of the key.  ``weights=[bits0, 1, ..., 1]`` is leading-column-
+    major: ALL of c0's bits first (equality predicates on c0 then map to ONE
+    contiguous key range — no Morton fragmentation), remaining dims
+    interleaved below.  ``bits_per_dim`` may be per-column; total must be
+    <= 63.
     """
     k = len(cols)
     if bits_per_dim is None:
         bits_per_dim = 63 // k
-    vals = [_top_bits(np.asarray(c, dtype=np.uint64), bits_per_dim) for c in cols]
+    bits = [bits_per_dim] * k if isinstance(bits_per_dim, int) else list(bits_per_dim)
+    if weights is None:
+        weights = [1] * k
+    vals = [_top_bits(np.asarray(c, dtype=np.uint64), b) for c, b in zip(cols, bits)]
+    # bit-emission plan: round-robin, weights[i] bits of col i per round
+    plan: list[tuple[int, int]] = []
+    pos = [0] * k
+    while any(pos[i] < bits[i] for i in range(k)):
+        for i in range(k):
+            for _ in range(weights[i]):
+                if pos[i] < bits[i]:
+                    plan.append((i, bits[i] - 1 - pos[i]))
+                    pos[i] += 1
     out = np.zeros(len(vals[0]), dtype=np.uint64)
     one = np.uint64(1)
-    for bit in range(bits_per_dim - 1, -1, -1):
-        for v in vals:
-            out = (out << one) | ((v >> np.uint64(bit)) & one)
+    for i, b in plan:
+        out = (out << one) | ((vals[i] >> np.uint64(b)) & one)
     return out
 
 
@@ -45,14 +68,29 @@ def order_preserving_u64(col, bounds: tuple | None = None) -> np.ndarray:
     file then covers a narrow *value* range per dimension, so the manifest's
     min/max stats prune range/equality predicates.  Encodings:
 
-    - strings: 8 bytes big-endian AFTER stripping the column's global common
-      prefix (from ``bounds`` = (global_min, global_max) strings — e.g. repos
-      all starting "org0/repo" would otherwise collapse to one key);
+    - strings with a **vocabulary** (``bounds`` = sorted ndarray of distinct
+      values): RANK-encoded — rank * (2^64 / n) — so value distinctions live
+      in the TOP bits regardless of shared substrings ("org0/repo12" vs
+      "org0/repo13" differ at byte 9; byte encodings collapse them, ranks
+      never do).  This is what makes equality pruning on a clustered dim
+      actually drop files;
+    - other strings: 8 bytes big-endian AFTER stripping the column's global
+      common prefix (from ``bounds`` = (global_min, global_max) strings);
     - ints/floats: min/max-scaled to the full uint64 range (``bounds`` from
       manifest stats or a pre-pass; identity offset fallback without them).
     Nulls map to 0 (sort first).
     """
     import pandas as pd
+
+    if isinstance(bounds, np.ndarray):  # sorted vocabulary -> rank encode
+        if isinstance(col, (pa.Array, pa.ChunkedArray)):
+            vals = col.to_pandas().fillna("").to_numpy(dtype=object)
+        else:
+            vals = pd.Series(col).fillna("").to_numpy(dtype=object)
+        ranks = np.searchsorted(bounds, vals).astype(np.uint64)
+        step = np.uint64((1 << 64) // max(2, len(bounds) + 1))
+        with np.errstate(over="ignore"):
+            return ranks * step
 
     def _encode_str(s: pd.Series) -> np.ndarray:
         skip = 0
@@ -86,15 +124,22 @@ def order_preserving_u64(col, bounds: tuple | None = None) -> np.ndarray:
         return (vals.astype(np.int64).astype(np.uint64) + np.uint64(1 << 63))
 
 
-def zorder_key(columns, bits_per_dim: int | None = None, bounds: list | None = None) -> np.ndarray:
+def zorder_key(
+    columns,
+    bits_per_dim: "int | list[int] | None" = None,
+    bounds: list | None = None,
+    weights: "list[int] | None" = None,
+) -> np.ndarray:
     """Z-order (Morton) key over order-preserving per-column encodings.
 
     ``columns``: sequence of Arrow/pandas/numpy columns; ``bounds``: optional
-    per-column (min, max) for numeric scaling (from manifest stats).
+    per-column (min, max) for numeric scaling or sorted-vocab ndarray for
+    rank encoding; ``weights``: non-uniform bit allocation (see
+    :func:`interleave_bits`).
     """
     bounds = bounds or [None] * len(columns)
     keys = [order_preserving_u64(c, b) for c, b in zip(columns, bounds)]
-    return interleave_bits(keys, bits_per_dim)
+    return interleave_bits(keys, bits_per_dim, weights=weights)
 
 
 def hilbert_key(columns, bits_per_dim: int = 10, bounds: list | None = None) -> np.ndarray:

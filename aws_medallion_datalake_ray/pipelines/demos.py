@@ -101,6 +101,37 @@ def demo_compact_zorder(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_partitioned_table(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned LakeTable (reference layout bronze_digit.py:148):
+    partition values recorded in the manifest drive EXACT ==/in pruning; a
+    single-partition scan opens only that partition's files, and compaction
+    never crosses partition boundaries."""
+    from aws_medallion_datalake_ray.state.table import prune_files
+
+    base = _demo_base(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"amdl-demo-part-{len(base)}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(root, partition_cols=("lang",))
+    for i in range(0, len(base), 1000):
+        t.append(base.slice(i, 1000), run_ts=_TS)
+    fp0 = t.sha256_checksum("content")
+    t.compact(target_file_bytes=8 << 20, run_ts=_TS)
+    files = t.files()
+    py_files = prune_files(files, [("lang", "==", "py")])
+    n_py = t.scan(predicate=[("lang", "==", "py")]).count()
+    return pd.DataFrame(
+        [
+            {
+                "files_total": len(files),
+                "files_opened_py_scan": len(py_files),
+                "py_rows": int(n_py),
+                "exact_pruning": all(f.partition.get("lang") == "py" for f in py_files),
+                "checksum_stable": t.sha256_checksum("content") == fp0,
+            }
+        ]
+    )
+
+
 def demo_snapshot_time_travel(sf_dir: str) -> pd.DataFrame:
     """Snapshot isolation: expiry + GC while a pinned snapshot stays readable."""
     t, base = _fresh_table(sf_dir, "snap")
@@ -326,6 +357,7 @@ DEMO_QUERIES = {
     "m02_compact_zorder": demo_compact_zorder,
     "m03_snapshot_time_travel": demo_snapshot_time_travel,
     "m04_medallion_gold": demo_medallion,
+    "m05_partitioned_table": demo_partitioned_table,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t02_simhash": demo_simhash,

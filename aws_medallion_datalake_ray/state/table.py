@@ -64,14 +64,26 @@ def _schema_from_json(s: str) -> pa.Schema:
 
 
 def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[DataFile]:
-    """Manifest-level pruning: keep a file unless its stats *prove* no row can
-    match.  Missing stats/bounds -> keep (conservative)."""
+    """Manifest-level pruning: partition values first (exact for ==/in — a
+    partitioned file holds exactly one value per partition column), then
+    min/max stats; a file is kept unless pruning *proves* no row can match.
+    Missing partition/stats/bounds -> keep (conservative)."""
     if not predicate:
         return files
     out = []
     for f in files:
         keep = True
         for col, op, val in predicate:
+            pv = f.partition.get(col) if f.partition else None
+            if pv is not None:
+                if op == "==":
+                    keep = str(val) == pv
+                elif op == "in":
+                    keep = pv in {str(v) for v in val}
+                if not keep:
+                    break
+                if op in ("==", "in"):
+                    continue
             st = f.stats.get(col)
             if st is None:
                 continue
@@ -228,12 +240,23 @@ class LakeTable:
 
     @classmethod
     def create(
-        cls, root: str, stats_cols: Iterable[str] = DEFAULT_STATS_COLS
+        cls,
+        root: str,
+        stats_cols: Iterable[str] = DEFAULT_STATS_COLS,
+        partition_cols: Iterable[str] = (),
     ) -> "LakeTable":
+        """``partition_cols``: Hive-style write partitioning (the reference's
+        ``year=/month=/day=`` layout, ``bronze_digit.py:148``).  Partition
+        columns must be string-typed and their values must not contain ``/``
+        or ``=``; values are recorded per file in the manifest
+        (``DataFile.partition``) and drive exact ==/in pruning."""
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
         t = cls(root)
-        t.config = {"stats_cols": list(stats_cols)}
+        t.config = {
+            "stats_cols": list(stats_cols),
+            "partition_cols": list(partition_cols),
+        }
         with open(os.path.join(root, "table.json"), "w") as f:
             json.dump(t.config, f)
         return t
@@ -241,6 +264,10 @@ class LakeTable:
     @property
     def stats_cols(self) -> tuple[str, ...]:
         return tuple(self.config["stats_cols"])
+
+    @property
+    def partition_cols(self) -> tuple[str, ...]:
+        return tuple(self.config.get("partition_cols", ()))
 
     def abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
@@ -259,26 +286,68 @@ class LakeTable:
         return rel, self.abs(rel)
 
     def _register_dir(self, rel_dir: str) -> list[DataFile]:
-        """Footer-stat every parquet file under a freshly written dir."""
+        """Footer-stat every parquet file under a freshly written dir
+        (recursively — Hive ``k=v`` path segments become the file's manifest
+        partition values)."""
         abs_dir = self.abs(rel_dir)
-        names = sorted(n for n in os.listdir(abs_dir) if n.endswith(".parquet"))
-        abs_paths = [os.path.join(abs_dir, n) for n in names]
+        rels: list[str] = []
+        for dp, _dn, fn in os.walk(abs_dir):
+            for n in fn:
+                if n.endswith(".parquet"):
+                    rels.append(os.path.relpath(os.path.join(dp, n), abs_dir))
+        rels.sort()
+        abs_paths = [os.path.join(abs_dir, r) for r in rels]
         stats = collect_stats(abs_paths, self.stats_cols)
-        return [
-            DataFile(path=os.path.join(rel_dir, n), rows=r, bytes=b, stats=s)
-            for n, (r, b, s) in zip(names, stats)
-        ]
+        pcols = set(self.partition_cols)
+        out = []
+        for rel, (r, b, s) in zip(rels, stats):
+            part: dict[str, str] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    if k in pcols:
+                        part[k] = v
+            out.append(
+                DataFile(
+                    path=os.path.join(rel_dir, rel), rows=r, bytes=b,
+                    partition=part, stats=s,
+                )
+            )
+        return out
 
     def _write_dataset(
         self,
         data: "ray.data.Dataset | pa.Table | pd.DataFrame",
         max_rows_per_file: int | None = None,
         min_rows_per_file: int | None = None,
+        partitioned: bool | None = None,
     ) -> list[DataFile]:
+        """``partitioned`` (default: table has partition_cols): Hive-layout
+        write — one ``col=value`` directory level per partition column; the
+        partition columns are dropped from the files (standard Hive) and
+        re-attached at scan from the manifest partition values."""
         rel_dir, abs_dir = self._new_commit_dir()
+        if partitioned is None:
+            partitioned = bool(self.partition_cols)
         if isinstance(data, pd.DataFrame):
             data = pa.Table.from_pandas(data, preserve_index=False)
-        if isinstance(data, pa.Table):
+        if partitioned and self.partition_cols:
+            pcols = list(self.partition_cols)
+            if isinstance(data, pa.Table):
+                pq.write_to_dataset(
+                    data, abs_dir, partition_cols=pcols, compression="zstd"
+                )
+            else:
+                kw = {}
+                if max_rows_per_file:
+                    kw["max_rows_per_file"] = max_rows_per_file
+                # without a floor, hive writes one file per (block x partition)
+                # — a fragmentation explosion at many-block scale
+                kw["min_rows_per_file"] = min_rows_per_file or 65536
+                data.write_parquet(
+                    abs_dir, partition_cols=pcols, compression="zstd", **kw
+                )
+        elif isinstance(data, pa.Table):
             pq.write_table(
                 data, os.path.join(abs_dir, "part-0.parquet"), compression="zstd"
             )
@@ -290,6 +359,27 @@ class LakeTable:
                 kw["min_rows_per_file"] = min_rows_per_file
             data.write_parquet(abs_dir, compression="zstd", **kw)
         return self._register_dir(rel_dir)
+
+    def _data_schema(self, data) -> pa.Schema | None:
+        """Schema of the pre-write data (includes partition columns, which
+        Hive-layout files drop)."""
+        if isinstance(data, pa.Table):
+            return data.schema
+        if isinstance(data, pd.DataFrame):
+            return pa.Schema.from_pandas(data)
+        try:
+            s = data.schema()
+            return getattr(s, "base_schema", None)
+        except Exception:
+            return None
+
+    def _commit_file_schema(self, files: list[DataFile]) -> str | None:
+        """schema_json for a maintenance commit: partitioned tables inherit
+        the parent snapshot's schema (files lack the partition columns), flat
+        tables use the first written file's schema."""
+        if self.partition_cols:
+            return None  # commit() inherits head.schema_json
+        return self._file_schema(files)
 
     def _file_schema(self, files: list[DataFile]) -> str | None:
         if not files:
@@ -303,9 +393,11 @@ class LakeTable:
         operation: str = "append",
         max_rows_per_file: int | None = None,
     ) -> Snapshot:
+        schema = self._data_schema(data) if self.partition_cols else None
         added = self._write_dataset(data, max_rows_per_file=max_rows_per_file)
         return self.store.commit(
-            added, [], operation, run_ts, schema_json=self._file_schema(added)
+            added, [], operation, run_ts,
+            schema_json=_schema_to_json(schema) if schema else self._file_schema(added),
         )
 
     def add_files(
@@ -328,10 +420,12 @@ class LakeTable:
         )
 
     def overwrite(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
+        schema = self._data_schema(data) if self.partition_cols else None
         added = self._write_dataset(data)
         removed = [f.path for f in self.store.files()]
         return self.store.commit(
-            added, removed, "overwrite", run_ts, schema_json=self._file_schema(added)
+            added, removed, "overwrite", run_ts,
+            schema_json=_schema_to_json(schema) if schema else self._file_schema(added),
         )
 
     # ------------------------------------------------------------ read
@@ -340,6 +434,66 @@ class LakeTable:
         snap = self.store.head() if snapshot_id is None else self.store.snapshot(snapshot_id)
         return self.store.files(snap) if snap else []
 
+    def _read_files(
+        self,
+        files: list[DataFile],
+        columns: list[str] | None = None,
+        predicate: Predicate | None = None,
+        **read_kwargs,
+    ) -> "ray.data.Dataset":
+        """Dataset over an explicit file list, partition-aware: Hive-written
+        files lack the partition columns, so each partition group is read
+        separately and its manifest values re-attached as constant columns
+        (union of groups; pruning usually leaves few groups)."""
+        if not any(f.partition for f in files):
+            return ray.data.read_parquet(
+                [self.abs(f.path) for f in files],
+                columns=columns,
+                filter=predicate_to_expr(predicate),
+                **read_kwargs,
+            )
+        pcols = list(self.partition_cols)
+        for col, op, _ in predicate or []:
+            if col in pcols and op not in ("==", "in"):
+                raise ValueError(
+                    f"only ==/in predicates are supported on partition column {col!r}"
+                )
+        row_pred = [t for t in (predicate or []) if t[0] not in pcols] or None
+        sch = self.schema()
+        want = list(columns) if columns is not None else (
+            list(sch.names) if sch is not None else None
+        )
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            groups.setdefault(tuple(f.partition.get(c) for c in pcols), []).append(f)
+        parts: list[ray.data.Dataset] = []
+        for vals, fs in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            flat = all(v is None for v in vals)  # pre-partitioning files
+            data_cols = want if flat else (
+                [c for c in want if c not in pcols] if want is not None else None
+            )
+            d = ray.data.read_parquet(
+                [self.abs(f.path) for f in fs],
+                columns=data_cols,
+                filter=predicate_to_expr(row_pred),
+                **read_kwargs,
+            )
+            attach = [] if flat else [
+                (c, v) for c, v in zip(pcols, vals)
+                if want is None or c in want
+            ]
+            if attach or want is not None:
+                def fix(t: pa.Table, _attach=tuple(attach), _want=tuple(want or ())) -> pa.Table:
+                    for c, v in _attach:
+                        t = t.append_column(c, pa.array([v] * len(t), pa.string()))
+                    return t.select(list(_want)) if _want else t
+                d = d.map_batches(fix, batch_format="pyarrow")
+            parts.append(d)
+        ds = parts[0]
+        if len(parts) > 1:
+            ds = ds.union(*parts[1:])
+        return ds
+
     def scan(
         self,
         snapshot_id: int | None = None,
@@ -347,7 +501,8 @@ class LakeTable:
         predicate: Predicate | None = None,
         **read_kwargs,
     ) -> "ray.data.Dataset":
-        """Snapshot-consistent scan: manifest prune -> pyarrow pushdown -> Dataset."""
+        """Snapshot-consistent scan: manifest prune (partition values + stats)
+        -> pyarrow pushdown -> Dataset."""
         files = prune_files(self.files(snapshot_id), predicate)
         if not files:
             schema = self.schema() or pa.schema([])
@@ -363,12 +518,7 @@ class LakeTable:
                     ]
                 )
             return ray.data.from_arrow(schema.empty_table())
-        return ray.data.read_parquet(
-            [self.abs(f.path) for f in files],
-            columns=columns,
-            filter=predicate_to_expr(predicate),
-            **read_kwargs,
-        )
+        return self._read_files(files, columns=columns, predicate=predicate, **read_kwargs)
 
     def to_arrow(self, **kw) -> pa.Table:
         """Whole table as one Arrow table — small tables / tests only."""
@@ -376,6 +526,13 @@ class LakeTable:
         cols = kw.pop("columns", None)
         if not files:
             return (self.schema() or pa.schema([])).empty_table()
+        if any(f.partition for f in files):
+            batches = list(
+                self._read_files(files, columns=cols).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+            return pa.concat_tables(batches, promote_options="permissive")
         return pq.read_table([self.abs(f.path) for f in files], columns=cols)
 
     # ------------------------------------------------------------ compaction
@@ -393,7 +550,14 @@ class LakeTable:
         ``predicate`` scopes the rewrite to matching files (per-partition
         compaction at large scale)."""
         files = prune_files(self.files(), predicate)
-        bins = plan_bins(files, target_file_bytes, min_files_per_bin)
+        # bins never cross partition boundaries, so each output file keeps a
+        # single (exact) partition value set in the manifest
+        part_groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            part_groups.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+        bins: list[list[DataFile]] = []
+        for _k, fs in sorted(part_groups.items()):
+            bins.extend(plan_bins(fs, target_file_bytes, min_files_per_bin))
         if not bins:
             return {"bins": 0, "files_in": 0, "files_out": 0}
         job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
@@ -408,20 +572,21 @@ class LakeTable:
             key = f"bin-{i:06d}"
             out_rel = os.path.join(rel_dir, f"{key}.parquet")
             in_paths = [m.path for m in members]
+            part = dict(members[0].partition)
             if ledger.is_completed(key) and os.path.exists(self.abs(out_rel)):
                 r, b, s = parquet_footer_stats(self.abs(out_rel), self.stats_cols)
-                added.append(DataFile(out_rel, r, b, stats=s))
+                added.append(DataFile(out_rel, r, b, partition=part, stats=s))
                 removed.extend(in_paths)
                 continue
             ledger.mark_running(key, in_paths)
             ref = _compact_bin.remote(
                 [self.abs(p) for p in in_paths], self.abs(out_rel), self.stats_cols
             )
-            pending.append((key, out_rel, in_paths, ref))
+            pending.append((key, out_rel, in_paths, part, ref))
 
-        for key, out_rel, in_paths, ref in pending:
+        for key, out_rel, in_paths, part, ref in pending:
             r, b, s = ray.get(ref)
-            added.append(DataFile(out_rel, r, b, stats=s))
+            added.append(DataFile(out_rel, r, b, partition=part, stats=s))
             removed.extend(in_paths)
             ledger.mark_completed(
                 key, in_paths, [out_rel], {"rows": r, "bytes": b, "files_in": len(in_paths)}
@@ -438,6 +603,30 @@ class LakeTable:
         return {"bins": len(bins), "files_in": len(removed), "files_out": len(added)}
 
     # ------------------------------------------------------------ clustering
+
+    def _column_vocab(
+        self, col: str, files: list[DataFile], cap: int = 65536
+    ) -> "np.ndarray | None":
+        """Sorted distinct values of a string column IF low-cardinality.
+
+        Probe the smallest file first (one column of one file); only when the
+        probe looks dictionary-like run the distributed distinct over the
+        scoped files.  High-cardinality columns (paths, ids) return None and
+        fall back to prefix-stripped byte encoding."""
+        probe_file = min(files, key=lambda f: f.bytes)
+        try:
+            probe = pq.read_table(self.abs(probe_file.path), columns=[col])
+        except Exception:
+            return None
+        n_probe = len(pc.unique(probe[col]))
+        if n_probe > min(cap, max(1000, int(0.05 * max(1, probe.num_rows)))):
+            return None
+        uniq = ray.data.read_parquet(
+            [self.abs(f.path) for f in files], columns=[col]
+        ).unique(col)
+        if uniq is None or len(uniq) > cap:
+            return None
+        return np.array(sorted(x for x in uniq if x is not None), dtype=object)
 
     def zorder(
         self,
@@ -469,10 +658,24 @@ class LakeTable:
         keyfn = hilbert_key if curve == "hilbert" else zorder_key
         cols = list(cols)
 
-        # numeric clustering dims need global (min, max) for order-preserving
-        # scaling — free from the manifest stats, no data pass
-        bounds: list[tuple | None] = []
+        # per-dim encodings: sorted VOCAB (rank encode — equality distinctions
+        # live in the top bits) for low-cardinality string dims; (min, max)
+        # from manifest stats otherwise (numeric scaling / prefix strip)
+        sch = self.schema()
+        bounds: list[Any] = []
         for c in cols:
+            vocab = None
+            if c in self.partition_cols:
+                vals = sorted({f.partition[c] for f in files if c in f.partition})
+                vocab = np.array(vals, dtype=object) if vals else None
+            elif sch is not None and sch.get_field_index(c) >= 0 and (
+                pa.types.is_string(sch.field(c).type)
+                or pa.types.is_large_string(sch.field(c).type)
+            ):
+                vocab = self._column_vocab(c, files)
+            if vocab is not None:
+                bounds.append(vocab)
+                continue
             mins = [f.stats[c]["min"] for f in files if f.stats.get(c, {}).get("min") is not None]
             maxs = [f.stats[c]["max"] for f in files if f.stats.get(c, {}).get("max") is not None]
             if mins and maxs:
@@ -480,16 +683,23 @@ class LakeTable:
             else:
                 bounds.append(None)
 
+        # leading-column-major bit allocation when the lead dim has a vocab:
+        # ALL its rank bits first (single contiguous key range per value ->
+        # real file pruning on equality scans), remaining dims z-interleaved
+        key_kwargs: dict[str, Any] = {"bounds": bounds}
+        if curve != "hilbert" and isinstance(bounds[0], np.ndarray) and len(cols) > 1:
+            lead_bits = max(4, int(np.ceil(np.log2(len(bounds[0]) + 1))))
+            rest = (63 - lead_bits) // (len(cols) - 1)
+            key_kwargs["bits_per_dim"] = [lead_bits] + [rest] * (len(cols) - 1)
+            key_kwargs["weights"] = [lead_bits] + [1] * (len(cols) - 1)
+
         def add_key(batch: pa.Table) -> pa.Table:
-            k = keyfn([batch[c] for c in cols], bounds=bounds)
+            k = keyfn([batch[c] for c in cols], **key_kwargs)
             return batch.append_column("__cluster_key", pa.array(k))
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         ds = (
-            ray.data.read_parquet(
-                [self.abs(f.path) for f in files],
-                override_num_blocks=max(2 * ncpu, len(files)),
-            )
+            self._read_files(files, override_num_blocks=max(2 * ncpu, len(files)))
             .map_batches(add_key, batch_format="pyarrow")
             .sort("__cluster_key")
             .drop_columns(["__cluster_key"])
@@ -719,9 +929,7 @@ class LakeTable:
 
             updates = updates.map_batches(cast_to_table_schema, batch_format="pyarrow")
         if affected:
-            survivors = ray.data.read_parquet(
-                [self.abs(f.path) for f in affected]
-            ).map_batches(
+            survivors = self._read_files(affected).map_batches(
                 _anti_join_batch,
                 fn_kwargs={"keys_ref": keys_ref, "lens_ref": lens_ref, "key_cols": key},
                 batch_format="pyarrow",
@@ -745,7 +953,7 @@ class LakeTable:
             removed,
             "merge",
             run_ts,
-            schema_json=self._file_schema(added),
+            schema_json=self._commit_file_schema(added),
             summary={"updates": n_updates, "affected_files": len(affected)},
         )
         ledger.finish()
@@ -813,9 +1021,9 @@ class LakeTable:
 
         upd_tagged = updates.map_batches(tag_and_part(1), batch_format="pyarrow")
         if affected:
-            base_tagged = ray.data.read_parquet(
-                [self.abs(f.path) for f in affected]
-            ).map_batches(tag_and_part(0), batch_format="pyarrow")
+            base_tagged = self._read_files(affected).map_batches(
+                tag_and_part(0), batch_format="pyarrow"
+            )
             if schema is not None:
                 order = schema.names + ["__src", "__part"]
                 upd_tagged = upd_tagged.select_columns(order)
@@ -849,7 +1057,7 @@ class LakeTable:
         )
         self.store.commit(
             added, removed, "merge", run_ts,
-            schema_json=self._file_schema(added),
+            schema_json=self._commit_file_schema(added),
             summary={"updates": n_updates, "affected_files": len(affected),
                      "strategy": "partitioned"},
         )
@@ -902,9 +1110,7 @@ class LakeTable:
         job_id = job_id or f"{operation}-{uuid.uuid4().hex[:8]}"
         ledger = Ledger(self.root, job_id, op=operation, run_ts=run_ts)
         ledger.mark_running(operation, [f.path for f in affected])
-        survivors = ray.data.read_parquet(
-            [self.abs(f.path) for f in affected]
-        ).map_batches(
+        survivors = self._read_files(affected).map_batches(
             _anti_join_batch,
             fn_kwargs={"keys_ref": keys_ref, "lens_ref": lens_ref, "key_cols": key},
             batch_format="pyarrow",
@@ -919,7 +1125,7 @@ class LakeTable:
         ledger.mark_completed(operation, removed, [f.path for f in added], summary)
         self.store.commit(
             added, removed, operation, run_ts,
-            schema_json=self._file_schema(added) or (
+            schema_json=self._commit_file_schema(added) or (
                 _schema_to_json(self.schema()) if self.schema() else None
             ),
             summary=summary,

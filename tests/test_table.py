@@ -283,3 +283,27 @@ def test_merge_only_rewrites_affected_files(table, source_files_small):
     )
     res = table.merge(upd, run_ts=TS)
     assert res["affected_files"] < n_files
+
+
+def test_zorder_single_repo_scan_prunes(tmp_path, ray_session):
+    """Leading-major rank-encoded clustering must let a single-repo equality
+    scan skip >50% of files on the Zipf-skewed fixture (round-1 verdict #4:
+    uniform 3-dim interleave read 86%)."""
+    from aws_medallion_datalake_ray.sources.fixtures import make_source_files
+    from aws_medallion_datalake_ray.state.table import prune_files
+
+    t = LakeTable.create(str(tmp_path / "t"))
+    base = make_source_files(n_rows=12000, seed=42)
+    for i in range(0, 12000, 1500):
+        t.append(base.slice(i, 1500), run_ts=TS)
+    t.zorder(["repo", "lang", "path"], target_file_bytes=256 * 1024, run_ts=TS)
+    files = t.files()
+    assert len(files) >= 6
+    repos = sorted(set(base["repo"].to_pylist()))
+    fracs = [
+        len(prune_files(files, [("repo", "==", r)])) / len(files)
+        for r in repos[:8]
+    ]
+    assert max(fracs) < 0.5, fracs
+    # clustering must not lose rows
+    assert t.scan().count() == 12000
