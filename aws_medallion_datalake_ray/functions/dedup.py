@@ -196,8 +196,9 @@ def merge_count_states(a, b):
         return b
     if b is None or len(b[0]) == 0:
         return a
-    ka, va = a
-    kb, vb = b
+    # states may round-trip through Arrow blocks as lists — re-materialize
+    ka, va = np.asarray(a[0]), np.asarray(a[1])
+    kb, vb = np.asarray(b[0]), np.asarray(b[1])
     n = len(ka) + len(kb)
     ib = np.searchsorted(ka, kb) + np.arange(len(kb))
     k = np.empty(n, ka.dtype)

@@ -111,6 +111,7 @@ class LshBucketer:
 def embedding_near_dups(
     ds: Dataset, dim: int, threshold: float = 0.9, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 11,
+    max_bucket: int = 1024,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed blocking.
 
@@ -118,21 +119,44 @@ def embedding_near_dups(
     collide with high probability); each bucket does an exact pairwise cosine
     check.  Only pairs with cos >= threshold are returned — the all-pairs
     O(n^2) never happens, only O(sum bucket^2) with buckets ~ n / 2^planes.
-    """
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        m = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
-        ids = g[id_col].to_numpy()
+    Mega-bucket cap: a bucket over ``max_bucket`` rows (an all-similar
+    corpus) is ordered by a SECONDARY seeded projection and compared in
+    50%-overlapping windows of ``max_bucket`` — near-identical vectors have
+    near-identical projections, so true near-dups stay within a window and
+    per-group work is bounded O(n * max_bucket), never O(n²).
+    """
+    sec_rng = np.random.default_rng(seed + 1)
+    sec_plane = sec_rng.standard_normal(dim)
+
+    def exact_pairs(m, ids):
         sims = m @ m.T
-        iu, ju = np.triu_indices(len(g), k=1)
+        iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
             {"id_a": lo, "id_b": hi, "cosine": np.round(sims[iu, ju][keep], 6)}
         )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
+        ids = g[id_col].to_numpy()
+        if len(g) <= max_bucket:
+            return exact_pairs(m, ids)
+        order = np.argsort(m @ sec_plane, kind="stable")
+        step = max(1, max_bucket // 2)
+        chunks = []
+        for s in range(0, len(order), step):
+            w = order[s : s + max_bucket]
+            if len(w) >= 2:
+                chunks.append(exact_pairs(m[w], ids[w]))
+        out = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
 
     out = (
         ds.map_batches(

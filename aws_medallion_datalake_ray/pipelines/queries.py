@@ -574,28 +574,40 @@ def q23_session_windows(sf_dir: str) -> pd.DataFrame:
 
 
 def q24_price_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact discrete quantiles, distributed: per-batch histograms over
-    integer cents (bounded key space) merged by a small groupby — no global
-    sort.  Matches DuckDB quantile_disc exactly (lower-nearest element)."""
+    """Exact discrete quantiles, distributed, with NO shuffle at all: the
+    per-block (cents -> count) histograms are a MERGEABLE SKETCH (sorted
+    numpy key/count pairs, ``merge_count_states``) tree-combined by Ray's
+    aggregate — only KB-sized states move, never rows.  Matches DuckDB
+    quantile_disc exactly (lower-nearest element)."""
+    from ray.data.aggregate import AggregateFnV2 as _AggBase
+
+    from aws_medallion_datalake_ray.functions.dedup import merge_count_states
+
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
 
-    def hist(t: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64()
-        )
-        vals, counts = np.unique(np.asarray(cents), return_counts=True)
-        return pa.table(
-            {"cents": pa.array(vals, pa.int64()), "p_n": pa.array(counts, pa.int64())}
-        )
+    class CentHist(_AggBase):
+        def __init__(self):
+            super().__init__(
+                name="cent_hist",
+                zero_factory=lambda: (np.array([], np.int64), np.array([], np.int64)),
+                on=None,
+                ignore_nulls=True,
+            )
 
-    agg = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby("cents")
-        .aggregate(Sum("p_n", alias_name="n"))
-        .to_pandas()
-        .sort_values("cents")
-        .reset_index(drop=True)
-    )
+        def aggregate_block(self, block):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            cents = pc.cast(
+                pc.round(pc.multiply(tbl["l_extendedprice"], pa.scalar(100.0))),
+                pa.int64(),
+            )
+            vals, counts = np.unique(np.asarray(cents), return_counts=True)
+            return (vals.astype(np.int64), counts.astype(np.int64))
+
+        def combine(self, a, b):
+            return merge_count_states(a, b)
+
+    vals, counts = ds.aggregate(CentHist())["cent_hist"]
+    agg = pd.DataFrame({"cents": vals, "n": counts})
     total = int(agg["n"].sum())
     cum = agg["n"].cumsum()
     out = {"n_rows": total}

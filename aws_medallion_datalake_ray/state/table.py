@@ -373,6 +373,19 @@ class LakeTable:
         except Exception:
             return None
 
+    def _coalesce_rows_target(
+        self, files: list[DataFile], target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+    ) -> int:
+        """min_rows_per_file for a copy-on-write rewrite: aim at target-size
+        files but keep >= 2 x CPUs output files so the write stays parallel
+        (one tiny file per block is task-overhead-bound; one giant file is
+        serial)."""
+        total_rows = sum(f.rows for f in files) or 1
+        total_bytes = sum(f.bytes for f in files) or 1
+        rows_target = max(1, int(target_file_bytes / max(1, total_bytes / total_rows)))
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return int(max(4096, min(rows_target, max(1, total_rows // (2 * ncpu)))))
+
     def _commit_file_schema(self, files: list[DataFile]) -> str | None:
         """schema_json for a maintenance commit: partitioned tables inherit
         the parent snapshot's schema (files lack the partition columns), flat
@@ -613,20 +626,48 @@ class LakeTable:
         probe looks dictionary-like run the distributed distinct over the
         scoped files.  High-cardinality columns (paths, ids) return None and
         fall back to prefix-stripped byte encoding."""
+        return self._column_vocabs([col], files, cap=cap).get(col)
+
+    def _column_vocabs(
+        self, cols: list[str], files: list[DataFile], cap: int = 65536
+    ) -> dict[str, "np.ndarray"]:
+        """One-pass variant of :meth:`_column_vocab` for several columns:
+        probe all on the smallest file, then a single distributed distinct
+        over (col, value) pairs for the accepted ones."""
         probe_file = min(files, key=lambda f: f.bytes)
-        try:
-            probe = pq.read_table(self.abs(probe_file.path), columns=[col])
-        except Exception:
-            return None
-        n_probe = len(pc.unique(probe[col]))
-        if n_probe > min(cap, max(1000, int(0.05 * max(1, probe.num_rows)))):
-            return None
-        uniq = ray.data.read_parquet(
-            [self.abs(f.path) for f in files], columns=[col]
-        ).unique(col)
-        if uniq is None or len(uniq) > cap:
-            return None
-        return np.array(sorted(x for x in uniq if x is not None), dtype=object)
+        want = []
+        for col in cols:
+            try:
+                probe = pq.read_table(self.abs(probe_file.path), columns=[col])
+            except Exception:
+                continue
+            n_probe = len(pc.unique(probe[col]))
+            if n_probe <= min(cap, max(1000, int(0.05 * max(1, probe.num_rows)))):
+                want.append(col)
+        if not want:
+            return {}
+
+        def pairs(t: pa.Table, _cols=tuple(want)) -> pa.Table:
+            vals = []
+            for c in _cols:
+                u = pc.unique(t[c]).drop_null()
+                vals.extend(f"{c}\x1f{v}" for v in u.to_pylist())
+            return pa.table({"cv": pa.array(vals, pa.string())})
+
+        uniq = (
+            ray.data.read_parquet([self.abs(f.path) for f in files], columns=want)
+            .map_batches(pairs, batch_format="pyarrow")
+            .unique("cv")
+        ) or []
+        out: dict[str, list] = {c: [] for c in want}
+        for cv in uniq:
+            c, _, v = cv.partition("\x1f")
+            out[c].append(v)
+        return {
+            c: np.array(sorted(vs), dtype=object)
+            for c, vs in out.items()
+            if vs and len(vs) <= cap
+        }
 
     def zorder(
         self,
@@ -662,17 +703,22 @@ class LakeTable:
         # live in the top bits) for low-cardinality string dims; (min, max)
         # from manifest stats otherwise (numeric scaling / prefix strip)
         sch = self.schema()
+        vocab_candidates = [
+            c for c in cols
+            if c not in self.partition_cols
+            and sch is not None and sch.get_field_index(c) >= 0
+            and (pa.types.is_string(sch.field(c).type)
+                 or pa.types.is_large_string(sch.field(c).type))
+        ]
+        vocabs = self._column_vocabs(vocab_candidates, files) if vocab_candidates else {}
         bounds: list[Any] = []
         for c in cols:
             vocab = None
             if c in self.partition_cols:
                 vals = sorted({f.partition[c] for f in files if c in f.partition})
                 vocab = np.array(vals, dtype=object) if vals else None
-            elif sch is not None and sch.get_field_index(c) >= 0 and (
-                pa.types.is_string(sch.field(c).type)
-                or pa.types.is_large_string(sch.field(c).type)
-            ):
-                vocab = self._column_vocab(c, files)
+            else:
+                vocab = vocabs.get(c)
             if vocab is not None:
                 bounds.append(vocab)
                 continue
@@ -940,7 +986,9 @@ class LakeTable:
         else:
             result = updates
 
-        added = self._write_dataset(result)
+        added = self._write_dataset(
+            result, min_rows_per_file=self._coalesce_rows_target(affected)
+        )
         removed = [f.path for f in affected]
         ledger.mark_completed(
             "merge",
@@ -1049,7 +1097,9 @@ class LakeTable:
 
             result = result.map_batches(cast_back, batch_format="pyarrow")
 
-        added = self._write_dataset(result)
+        added = self._write_dataset(
+            result, min_rows_per_file=self._coalesce_rows_target(affected)
+        )
         removed = [f.path for f in affected]
         ledger.mark_completed(
             "merge", removed, [f.path for f in added],
@@ -1115,7 +1165,9 @@ class LakeTable:
             fn_kwargs={"keys_ref": keys_ref, "lens_ref": lens_ref, "key_cols": key},
             batch_format="pyarrow",
         )
-        added = self._write_dataset(survivors)
+        added = self._write_dataset(
+            survivors, min_rows_per_file=self._coalesce_rows_target(affected)
+        )
         removed = [f.path for f in affected]
         summary = {
             "removed_keys": int(len(uniq)),

@@ -107,7 +107,9 @@ def run_bench() -> dict:
     )
     step(
         "zorder",
-        lambda: table.zorder(["repo", "lang", "path"], target_file_bytes=16 * 1024 * 1024,
+        # 8 MB files => ~12 output files at sf0.1: enough granularity for the
+        # repo_scan_files_frac pruning measurement to resolve below 0.3
+        lambda: table.zorder(["repo", "lang", "path"], target_file_bytes=8 * 1024 * 1024,
                              run_ts=TS),
     )
     step("rewrite_stats", lambda: table.rewrite_stats(run_ts=TS))

@@ -140,3 +140,28 @@ def test_quality_per_language_stopwords():
     en_score = q["quality_score"]["en"]
     for lang in ["de", "fr", "es"]:
         assert abs(q["quality_score"][lang] - en_score) < 0.15, (lang, q["quality_score"])
+
+
+def test_embedding_near_dup_mega_bucket_bounded(ray_session):
+    """An all-similar corpus (every vector in one LSH bucket) must complete
+    with windowed bounded work and still find the near-identical pairs."""
+    import pyarrow as pa
+
+    from aws_medallion_datalake_ray.functions.embeddings import embedding_near_dups
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    n = 400
+    vecs = base + rng.standard_normal((n, 16)) * 1e-4  # all nearly identical
+    t = pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([v.tolist() for v in vecs])}
+    )
+    out = embedding_near_dups(
+        ray.data.from_arrow(t), dim=16, threshold=0.999, max_bucket=64
+    )
+    # windowed comparison: pair count bounded well below n^2/2 = 79800...
+    assert 0 < len(out) <= n * 64
+    # every doc participates in at least one pair (cluster connectivity)
+    seen = set(out["id_a"]) | set(out["id_b"])
+    assert len(seen) == n
