@@ -629,45 +629,45 @@ class LakeTable:
         return self._column_vocabs([col], files, cap=cap).get(col)
 
     def _column_vocabs(
-        self, cols: list[str], files: list[DataFile], cap: int = 65536
+        self, cols: list[str], files: list[DataFile], cap: int = 65536,
+        n_probe_files: int = 4,
     ) -> dict[str, "np.ndarray"]:
-        """One-pass variant of :meth:`_column_vocab` for several columns:
-        probe all on the smallest file, then a single distributed distinct
-        over (col, value) pairs for the accepted ones."""
-        probe_file = min(files, key=lambda f: f.bytes)
-        want = []
+        """Multi-column variant of :meth:`_column_vocab`, built WITHOUT a full
+        data pass: the union of distinct values from up to ``n_probe_files``
+        smallest files plus every file's manifest min/max.  A value missing
+        from the vocab rank-encodes to its neighbor's rank — the encoding
+        stays order-preserving (two adjacent values merely share a cluster
+        cell), and pruning correctness is untouched because it reads the
+        REAL post-write min/max stats, not the vocab.  This keeps zorder's
+        key-prep cost at O(one small file per dim) at any table size."""
+        probes = sorted(files, key=lambda f: f.bytes)[: max(1, n_probe_files)]
+        out: dict[str, np.ndarray] = {}
         for col in cols:
-            try:
-                probe = pq.read_table(self.abs(probe_file.path), columns=[col])
-            except Exception:
+            vals: set = set()
+            accepted = True
+            for i, pf in enumerate(probes):
+                try:
+                    probe = pq.read_table(self.abs(pf.path), columns=[col])
+                except Exception:
+                    accepted = False
+                    break
+                u = pc.unique(probe[col]).drop_null()
+                if i == 0 and len(u) > min(
+                    cap, max(1000, int(0.05 * max(1, probe.num_rows)))
+                ):
+                    accepted = False  # dictionary-unlike (paths, ids)
+                    break
+                vals.update(u.to_pylist())
+            if not accepted or not vals:
                 continue
-            n_probe = len(pc.unique(probe[col]))
-            if n_probe <= min(cap, max(1000, int(0.05 * max(1, probe.num_rows)))):
-                want.append(col)
-        if not want:
-            return {}
-
-        def pairs(t: pa.Table, _cols=tuple(want)) -> pa.Table:
-            vals = []
-            for c in _cols:
-                u = pc.unique(t[c]).drop_null()
-                vals.extend(f"{c}\x1f{v}" for v in u.to_pylist())
-            return pa.table({"cv": pa.array(vals, pa.string())})
-
-        uniq = (
-            ray.data.read_parquet([self.abs(f.path) for f in files], columns=want)
-            .map_batches(pairs, batch_format="pyarrow")
-            .unique("cv")
-        ) or []
-        out: dict[str, list] = {c: [] for c in want}
-        for cv in uniq:
-            c, _, v = cv.partition("\x1f")
-            out[c].append(v)
-        return {
-            c: np.array(sorted(vs), dtype=object)
-            for c, vs in out.items()
-            if vs and len(vs) <= cap
-        }
+            for f in files:
+                st = f.stats.get(col) or {}
+                for b in (st.get("min"), st.get("max")):
+                    if isinstance(b, str):
+                        vals.add(b)
+            if len(vals) <= cap:
+                out[col] = np.array(sorted(vals), dtype=object)
+        return out
 
     def zorder(
         self,
@@ -884,9 +884,10 @@ class LakeTable:
         """
         key = tuple(key)
         if isinstance(updates, pa.Table):
+            n_raw = updates.num_rows  # known — skip a full count() pass
             updates = ray.data.from_arrow(updates)
-
-        n_raw = updates.count()
+        else:
+            n_raw = updates.count()
         if strategy == "partitioned" or (strategy == "auto" and n_raw > broadcast_threshold):
             return self.merge_partitioned(
                 updates, key=key, run_ts=run_ts, job_id=job_id,

@@ -266,6 +266,12 @@ def run_scaling() -> dict:
         "rows_per_sec_16cpu": round(out[16]["bench_rows"] / t_hi, 1),
         "sf": SF_DIR,
         "bench_rows": out[16]["bench_rows"],
+        # per-stage speedups (ideal 4.0): identifies the scaling floor-raisers
+        "stage_speedup": {
+            k: round(out[4]["timings"][k] / max(1e-9, out[16]["timings"][k]), 2)
+            for k in out[16]["timings"]
+        },
+        "timings_16cpu": out[16]["timings"],
     }
 
 
