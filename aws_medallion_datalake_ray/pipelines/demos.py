@@ -247,6 +247,47 @@ def demo_dedup_near_removal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_rest_fanout_ingest(sf_dir: str) -> pd.DataFrame:
+    """REST fan-out ingest (SURVEY S1, bronze_digit.py:28-109 shape): token
+    auth once per actor, (entity x endpoint) fan-out with retries on the
+    deterministic no-network transport, bronze-normalized rows appended to a
+    LakeTable."""
+    from aws_medallion_datalake_ray.sources.rest import (
+        FakeDigitTransport,
+        read_rest_fanout,
+    )
+
+    n_entities = 30
+    ds = read_rest_fanout(
+        entity_ids=[f"O{i}" for i in range(n_entities)],
+        endpoints=["horas_funcao", "resumo_periodo"],
+        transport_factory=lambda: FakeDigitTransport(
+            rows_per_entity=4, fail_first_for=(("horas_funcao", "O3"),)
+        ),
+        auth={"user": "svc", "password": "x"},
+        lineage={"api_source": "digit", "extraction_date": _TS[:10]},
+        concurrency=(1, 4),
+    )
+    root = os.path.join(tempfile.gettempdir(), "amdl-demo-rest")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(root, stats_cols=("entity_id", "endpoint"))
+    t.append(ds, run_ts=_TS)
+    got = t.scan().count()
+    by_ep = (
+        t.to_arrow(columns=["endpoint"]).to_pandas()["endpoint"].value_counts()
+    )
+    return pd.DataFrame(
+        [
+            {
+                "rows_ingested": int(got),
+                "rows_expected": n_entities * 2 * 4,
+                "endpoints": int(len(by_ep)),
+                "retried_entity_present": int(got == n_entities * 2 * 4),
+            }
+        ]
+    )
+
+
 def demo_simhash(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash per doc; near-dup buckets by 8-bit prefix."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -360,6 +401,7 @@ DEMO_QUERIES = {
     "m05_partitioned_table": demo_partitioned_table,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
+    "t06_rest_fanout_ingest": demo_rest_fanout_ingest,
     "t02_simhash": demo_simhash,
     "t03_text_analysis": demo_text_analysis,
     "t04_fingerprints": demo_fingerprints,
