@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--updates", required=True, help="parquet path of the update stream")
     p.add_argument("--key", default="repo,path,commit")
 
+    p = add("dedup-near")
+    p.add_argument("--table", required=True)
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--key", default="repo,path,commit")
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--num-perm", type=int, default=64)
+
     p = add("expire")
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=2)
@@ -105,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
             out |= _table(args.table).merge(
                 ray.data.read_parquet(args.updates), key=tuple(args.key.split(",")),
                 run_ts=args.run_ts,
+            )
+        elif args.cmd == "dedup-near":
+            out |= _table(args.table).dedup_near(
+                text_col=args.text_col, key=tuple(args.key.split(",")),
+                threshold=args.threshold, bands=args.bands,
+                num_perm=args.num_perm, run_ts=args.run_ts,
             )
         elif args.cmd == "expire":
             t = _table(args.table)

@@ -291,6 +291,23 @@ class BandEmitter(MinHasher):
         return pd.DataFrame({self.id_col: ids, "bucket": b.reshape(-1).astype(np.int64)})
 
 
+_EMITTER_CACHE: dict = {}
+
+
+def band_emit_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    """Stateless-task variant of :class:`BandEmitter`: the emitter (seeded
+    permutation table, compiled state) is cached PER WORKER PROCESS, so plain
+    ``map_batches(band_emit_batch, fn_kwargs=...)`` gets init-once semantics
+    without an actor pool — pools idle the non-pool CPUs, stateless tasks
+    use them all (better scaling at high CPU counts)."""
+    k = tuple(sorted(kw.items()))
+    e = _EMITTER_CACHE.get(k)
+    if e is None:
+        e = BandEmitter(**kw)
+        _EMITTER_CACHE[k] = e
+    return e(df)
+
+
 def near_dup_candidate_count(
     ds, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16,
     shingle_k: int = 5, concurrency=(2, 16),
@@ -304,13 +321,12 @@ def near_dup_candidate_count(
     from ray.data.aggregate import AggregateFnV2 as _AggBase  # Ray 2.49
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
-        BandEmitter,
-        fn_constructor_kwargs={
+        band_emit_batch,
+        fn_kwargs={
             "id_col": id_col, "text_col": text_col, "bands": bands,
             "num_perm": num_perm, "shingle_k": shingle_k,
         },
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
     class BucketCounts(_AggBase):
@@ -467,13 +483,12 @@ def near_dup_pairs(
     import ray.data as _rd
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
-        BandEmitter,
-        fn_constructor_kwargs={
+        band_emit_batch,
+        fn_kwargs={
             "id_col": id_col, "text_col": text_col, "bands": bands,
             "num_perm": num_perm, "shingle_k": shingle_k,
         },
         batch_format="pandas",
-        concurrency=concurrency,
     )
     pairs = (
         banded.groupby("bucket")

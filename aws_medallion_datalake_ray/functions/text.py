@@ -190,3 +190,18 @@ class TextAnalyzer:
         batch["lang_pred"] = langs
         batch["fingerprint"] = self.fingerprint(t)
         return batch
+
+
+_ANALYZER_CACHE: dict = {}
+
+
+def analyze_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Stateless-task variant of :class:`TextAnalyzer`: the analyzer (compiled
+    regex/stopword tables) is cached PER WORKER PROCESS, so plain
+    ``map_batches(analyze_batch)`` gets init-once semantics while using every
+    CPU (an actor pool idles the non-pool cores)."""
+    a = _ANALYZER_CACHE.get(text_col)
+    if a is None:
+        a = TextAnalyzer(text_col=text_col)
+        _ANALYZER_CACHE[text_col] = a
+    return a(batch)

