@@ -103,3 +103,25 @@ def test_cli_failure_is_structured(tmp_path):
     assert out["status"] == "failed"
     assert out["failed_stage"] == "bronze"
     assert "error" in out
+
+
+def test_cli_dedup_near(tmp_path):
+    """dedup-near subcommand: planted near-dups removed via the CLI surface."""
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    base = make_source_files(600, seed=21)
+    bp = base.slice(0, 4).to_pandas()
+    bp["path"] = "zzz_dup_" + bp["path"]
+    bp["commit"] = [f"{i:040x}" for i in range(4)]
+    bp["content"] = bp["content"] + "// planted\n"
+    import pyarrow as pa
+
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.concat_tables(
+        [base, pa.Table.from_pandas(bp, preserve_index=False).cast(base.schema)]
+    ))
+    rc, out = _run_cli(
+        "dedup-near", "--table", str(tmp_path / "t"), "--threshold", "0.9"
+    )
+    assert rc == 0 and out["status"] == "ok"
+    assert out["near_dup_rows"] >= 4

@@ -87,3 +87,17 @@ def test_partition_range_predicate_rejected(ptable):
     t, _ = ptable
     with pytest.raises(ValueError, match="partition column"):
         t.scan(predicate=[("lang", ">", "a")]).count()
+
+
+def test_delete_keys_on_partitioned_table(ptable):
+    """Copy-on-write delete preserves partition values and the full schema."""
+    t, base = ptable
+    df = base.to_pandas().head(5)
+    keys = [
+        f"{r.repo}\x1f{r.path}\x1f{r.commit}" for r in df.itertuples()
+    ]
+    res = t.delete_keys(keys)
+    assert res["rows_deleted"] == 5
+    assert t.scan().count() == 2995
+    assert all(set(f.partition) == {"lang"} for f in t.files())
+    assert "lang" in t.schema().names
