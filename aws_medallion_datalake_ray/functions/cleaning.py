@@ -233,9 +233,21 @@ def case_bucket(col, edges: list[float], labels: list[str]) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+_NOME_MES = pa.array(
+    ["janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho",
+     "agosto", "setembro", "outubro", "novembro", "dezembro"], pa.string()
+)
+_NOME_DIA_SEMANA = pa.array(
+    ["segunda-feira", "terça-feira", "quarta-feira", "quinta-feira",
+     "sexta-feira", "sábado", "domingo"], pa.string()
+)
+
+
 def date_parts(col) -> dict[str, pa.Array]:
-    """ano/mes/trimestre/semestre/dia_semana/eh_fim_semana from a timestamp
-    column (dim_tempo derivation, M17)."""
+    """ano/mes/dia/trimestre/semestre/dia_semana/eh_fim_semana plus the
+    spelled-out ``nome_mes`` / ``nome_dia_semana`` from a timestamp column
+    (dim_tempo derivation, M17; ref docs/GOLD_API_DIGIT_STAR_SCHEMA.md:42-47
+    'Nomes por extenso')."""
     ts = col if pa.types.is_timestamp(col.type) else pc.cast(col, pa.timestamp("us"))
     month = pc.month(ts)
     dow = pc.day_of_week(ts)  # Monday=0 .. Sunday=6
@@ -245,6 +257,8 @@ def date_parts(col) -> dict[str, pa.Array]:
         "dia": pc.day(ts),
         "trimestre": pc.quarter(ts),
         "semestre": pc.if_else(pc.less_equal(month, 6), 1, 2),
+        "nome_mes": pc.take(_NOME_MES, pc.subtract(month, 1)),
         "dia_semana": dow,
+        "nome_dia_semana": pc.take(_NOME_DIA_SEMANA, dow),
         "eh_fim_semana": pc.greater_equal(dow, 5),
     }

@@ -374,10 +374,17 @@ def near_dup_candidate_count(
 def _bucket_pairs_fn(id_col: str, max_bucket: int):
     """Candidate pairs within one LSH bucket, with a mega-bucket cap.
 
-    All-pairs for buckets up to ``max_bucket`` ids; above that, sorted
-    consecutive-chain pairs (O(n) instead of O(n²)) — the chain preserves
-    cluster *connectivity* for dedup-removal semantics while bounding work
-    when an all-similar corpus lands every doc in one bucket."""
+    All-pairs for buckets up to ``max_bucket`` ids; above that, consecutive-
+    chain pairs under TWO independent orderings (sorted-id and hashed-id) —
+    2(n-1) pairs, O(n) instead of O(n²), bounding work when an all-similar
+    corpus lands every doc in one bucket.
+
+    Recall tradeoff (documented, by design): chains preserve candidate-stage
+    cluster *connectivity*, but if an adjacent chain pair later fails the
+    exact-Jaccard verify, a cluster can split and dedup retain a true
+    near-dup.  The second (hash-order) chain densifies connectivity — a split
+    needs BOTH orderings to fail at the same frontier — while staying O(n);
+    exhaustive recall inside mega-buckets would be O(n²) by definition."""
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g[id_col].to_numpy())
@@ -386,7 +393,18 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
         if len(ids) <= max_bucket:
             ia, ib = np.triu_indices(len(ids), k=1)
             return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-        return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+        perm = np.argsort(
+            pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy(),
+            kind="stable",
+        )
+        h = ids[perm]
+        out = pd.DataFrame(
+            {
+                "id_a": np.concatenate([ids[:-1], np.minimum(h[:-1], h[1:])]),
+                "id_b": np.concatenate([ids[1:], np.maximum(h[:-1], h[1:])]),
+            }
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
 
     return pairs_in_bucket
 
@@ -509,11 +527,14 @@ def near_dup_pairs(
         sorted(pairs.map_batches(_ids_of, batch_format="pyarrow").unique("cid") or [])
     )
     if len(cand_ids) == 0:
+        # empty-result schema keeps the INPUT id type (ids may be strings —
+        # dedup_near joins key tuples into string ids)
+        id_type = ds.schema().base_schema.field(id_col).type
         return _rd.from_arrow(
             pa.table(
                 {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
@@ -581,10 +602,11 @@ def minhash_near_dups(
     )
     df = out.to_pandas()
     if df.empty:
+        id_type = ds.schema().base_schema.field(id_col).type
         return pa.table(
             {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
                 "jaccard": pa.array([], pa.float64()),
             }
         )

@@ -732,12 +732,14 @@ _gold_star_memo: dict = {}
 
 def _gold_star(sf_dir: str):
     """Build (once per process per sf_dir) the gold star schema: dim_customer,
-    fato_orders, fato_resumo_customer as LakeTables."""
+    fato_orders, fato_resumo_customer and dim_tempo as LakeTables."""
+    import datetime as _dt
     import os
     import shutil
     import tempfile
 
     from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+    from aws_medallion_datalake_ray.pipelines.digit import dim_tempo as _dim_tempo
     from aws_medallion_datalake_ray.state.table import LakeTable
 
     if sf_dir in _gold_star_memo:
@@ -766,14 +768,23 @@ def _gold_star(sf_dir: str):
             {
                 "o_orderkey": t["o_orderkey"],
                 "o_custkey": t["o_custkey"],
+                "data_key": t["o_orderdate"],
                 "cents": cents,
             }
         )
 
     fact.overwrite(
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(to_fact, batch_format="pyarrow")
+        _read(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ).map_batches(to_fact, batch_format="pyarrow")
     )
+
+    # dim_tempo: distributed distinct of the fact's date key (calendar-dim
+    # cardinality) -> engine calendar derivation (pipelines/digit.dim_tempo)
+    tempo = LakeTable.create(os.path.join(root, "dim_tempo"), stats_cols=("data_key",))
+    dates = sorted(fact.scan(columns=["data_key"]).unique("data_key"))
+    tempo.overwrite(_dim_tempo(pa.array(dates), _dt.datetime(2024, 1, 1)))
 
     # fato_resumo_customer: engine-aggregated rollup fact (athena #7 analog),
     # combiner pattern: per-batch partial group-by before the keyed shuffle
@@ -792,7 +803,7 @@ def _gold_star(sf_dir: str):
     )
     resumo.overwrite(resumo_ds)
 
-    _gold_star_memo[sf_dir] = (dim, fact, resumo)
+    _gold_star_memo[sf_dir] = (dim, fact, resumo, tempo)
     return _gold_star_memo[sf_dir]
 
 
@@ -800,7 +811,7 @@ def q28_gold_star_join(sf_dir: str) -> pd.DataFrame:
     """Gold star-join consumption (athena_gold_queries.sql:8-18 shape): fact ⋈
     broadcast dim -> per-segment totals + distinct-customer counts, scanned
     from the engine's own gold LakeTables."""
-    dim, fact, _ = _gold_star(sf_dir)
+    dim, fact, _, _ = _gold_star(sf_dir)
     dim_t = dim.to_arrow()
     seg_ref = ray.put(
         dict(zip(dim_t["c_custkey"].to_pylist(), dim_t["c_mktsegment"].to_pylist()))
@@ -829,7 +840,7 @@ def q28_gold_star_join(sf_dir: str) -> pd.DataFrame:
     # cardinality (small side); distributed unique -> driver map
     custs = fact.scan(columns=["o_custkey"]).unique("o_custkey")
     seg_map = dim_t.to_pandas().set_index("c_custkey")["c_mktsegment"]
-    n_cust = pd.Series([seg_map[c] for c in custs]).value_counts()
+    n_cust = pd.Series(list(custs)).map(seg_map).value_counts()
     agg["n_customers"] = agg["segment"].map(n_cust).astype("int64")
     agg["n_orders"] = agg["n_orders"].astype("int64")
     agg["total_price"] = (agg["cents"] / 100.0).round(2)
@@ -841,7 +852,7 @@ def q28_gold_star_join(sf_dir: str) -> pd.DataFrame:
 def q29_gold_resumo_top(sf_dir: str) -> pd.DataFrame:
     """Rollup-fact consumption (athena_gold_queries.sql:75-84 shape): top-10
     customers from the engine-built fato_resumo ⋈ dim names."""
-    dim, _, resumo = _gold_star(sf_dir)
+    dim, _, resumo, _ = _gold_star(sf_dir)
 
     def local_top(t: pa.Table) -> pa.Table:
         # keep="all" keeps cent-ties at the boundary so the exact final
@@ -863,6 +874,39 @@ def q29_gold_resumo_top(sf_dir: str) -> pd.DataFrame:
     cand["n_orders"] = cand["n_orders"].astype("int64")
     top = cand.sort_values(["total_price", "c_name"], ascending=[False, True]).head(10)
     return top[["c_name", "n_orders", "total_price"]].reset_index(drop=True)
+
+
+def q31_gold_monthly_rollup(sf_dir: str) -> pd.DataFrame:
+    """Time-dimension star join (athena_gold_queries.sql:20-31 shape:
+    ``JOIN dim_tempo t ON f.data_key = t.data_key`` with a year/month
+    rollup): the fact is joined to the ENGINE-BUILT dim_tempo LakeTable —
+    the calendar attributes (ano/mes/nome_mes) come from the dim, never
+    recomputed from the fact — with the dim broadcast once and per-batch
+    partial aggregation before the small keyed shuffle."""
+    _, fact, _, tempo = _gold_star(sf_dir)
+    dim = tempo.to_arrow(columns=["data_key", "ano", "mes", "nome_mes"]).to_pandas()
+    dim_ref = ray.put(dim)
+
+    def enrich(t: pa.Table, ref=dim_ref) -> pa.Table:
+        d = ray.get(ref)
+        df = t.to_pandas().merge(d, on="data_key", how="left")
+        g = df.groupby(["ano", "mes", "nome_mes"], as_index=False).agg(
+            p_n=("cents", "size"), p_c=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        fact.scan(columns=["data_key", "cents"])
+        .map_batches(enrich, batch_format="pyarrow")
+        .groupby(["ano", "mes", "nome_mes"])
+        .aggregate(Sum("p_n", alias_name="n_orders"), Sum("p_c", alias_name="c"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = (out["c"] / 100.0).round(2)
+    return out[["ano", "mes", "nome_mes", "n_orders", "total_price"]].sort_values(
+        ["ano", "mes"]
+    ).reset_index(drop=True)
 
 
 # ================================================================ oracle SQL
@@ -1093,6 +1137,22 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY r.total_price DESC, c.c_name
         LIMIT 10
     """,
+    "q31_gold_monthly_rollup": """
+        -- recompute the dim_tempo year/month rollup from the raw view; the
+        -- engine side answers by joining its promoted gold fact to its own
+        -- dim_tempo table (nome_mes spelled out per GOLD doc :42-47)
+        SELECT year(o_orderdate)  AS ano,
+               month(o_orderdate) AS mes,
+               (['janeiro','fevereiro','março','abril','maio','junho','julho',
+                 'agosto','setembro','outubro','novembro','dezembro']
+               )[month(o_orderdate)] AS nome_mes,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_price
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY ano, mes
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -1160,4 +1220,5 @@ SQL_QUERIES = {
     "q27_lsh_near_dup_pairs": q27_lsh_near_dup_pairs,
     "q28_gold_star_join": q28_gold_star_join,
     "q29_gold_resumo_top": q29_gold_resumo_top,
+    "q31_gold_monthly_rollup": q31_gold_monthly_rollup,
 }

@@ -167,11 +167,23 @@ class ManifestStore:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                     if age > _LOCK_STALE_SEC:
-                        # steal by rename-to-unique: only one stealer can win,
-                        # and a fresh lock created meanwhile is never unlinked
+                        # steal by rename-to-unique: only one stealer can win.
+                        # Between the age check and the rename, the holder may
+                        # release and a NEW writer create a fresh lock at the
+                        # same path — so re-verify staleness AFTER the rename
+                        # and restore (hard-link back) a fresh lock instead of
+                        # discarding it.
                         stale = f"{lock}.stale-{os.getpid()}-{time.monotonic_ns()}"
                         try:
                             os.rename(lock, stale)
+                            still_stale = (
+                                time.time() - os.path.getmtime(stale)
+                            ) > _LOCK_STALE_SEC
+                            if not still_stale:
+                                try:
+                                    os.link(stale, lock)  # only if path free
+                                except FileExistsError:
+                                    pass
                             os.unlink(stale)
                         except FileNotFoundError:
                             pass

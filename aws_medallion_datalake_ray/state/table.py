@@ -485,10 +485,15 @@ class LakeTable:
             data_cols = want if flat else (
                 [c for c in want if c not in pcols] if want is not None else None
             )
+            # flat files (no Hive layout — e.g. adopted via add_files) still
+            # carry the partition columns as DATA columns, so they must see
+            # the FULL predicate; Hive-layout files lack those columns and get
+            # only the row-level remainder (partition filtering happened at
+            # prune_files via manifest partition values)
             d = ray.data.read_parquet(
                 [self.abs(f.path) for f in fs],
                 columns=data_cols,
-                filter=predicate_to_expr(row_pred),
+                filter=predicate_to_expr(predicate if flat else row_pred),
                 **read_kwargs,
             )
             attach = [] if flat else [

@@ -127,6 +127,10 @@ def test_dim_tempo_and_fato():
     assert by_key["2024-08-17"]["eh_fim_semana"] is True
     assert by_key["2024-02-01"]["trimestre"] == 1
     assert by_key["2024-02-01"]["semestre"] == 1
+    # GOLD doc :42-47: nomes por extenso
+    assert by_key["2024-08-17"]["nome_mes"] == "agosto"
+    assert by_key["2024-08-17"]["nome_dia_semana"] == "sábado"
+    assert by_key["2024-02-01"]["nome_mes"] == "fevereiro"
 
     horas = pa.table(
         {

@@ -151,6 +151,8 @@ def test_case_bucket_and_date_parts():
     assert parts["ano"].to_pylist() == [2024]
     assert parts["semestre"].to_pylist() == [2]
     assert parts["eh_fim_semana"].to_pylist() == [True]  # 2024-08-17 is a Saturday
+    assert parts["nome_mes"].to_pylist() == ["agosto"]
+    assert parts["nome_dia_semana"].to_pylist() == ["sábado"]
 
 
 def test_stamp_run_ts_deterministic():
