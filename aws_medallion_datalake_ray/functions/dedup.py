@@ -314,15 +314,30 @@ def band_emit_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
 
 def near_dup_candidate_count(
     ds, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16,
-    shingle_k: int = 5, concurrency=(2, 16),
+    shingle_k: int = 5, concurrency=(2, 16), num_partitions: int | None = None,
 ) -> dict:
     """Distributed near-dup *scan*: count LSH bucket collisions over the whole
     corpus without materializing pairs — the maintenance-cycle stage shape for
-    100 TB.  Signatures run on an actor pool; counting is a **mergeable
-    sketch** (bucket -> count as sorted numpy pairs) combined by Ray Data's
-    tree aggregation — no all-to-all shuffle at all, the only data movement
-    is per-block count states (~KBs each)."""
-    from ray.data.aggregate import AggregateFnV2 as _AggBase  # Ray 2.49
+    100 TB.
+
+    Scale shape (every state SUBLINEAR in corpus size — the round-2 version's
+    mergeable sketch was an exact bucket→count map whose ROOT state grew
+    O(docs × bands), a driver OOM at 10^9 docs):
+
+    1. vectorized banding -> per-block partial ``np.unique`` collapses
+       within-block duplicate buckets to (partition, bucket, count) rows;
+    2. one hash-partitioned shuffle co-locates equal buckets (P = O(cluster
+       CPUs) groups, never per-bucket groups);
+    3. each partition rolls up to THREE integers (buckets, collision_buckets,
+       colliding_rows) with one vectorized sort+reduceat;
+    4. the driver sums P rows of 3 ints.
+
+    Texts never leave the workers; the only all-to-all moves 24-byte partial
+    count rows (<= docs × bands, less after block-level collapse)."""
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    P = num_partitions or max(32, 2 * ncpu)
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
         band_emit_batch,
@@ -333,41 +348,46 @@ def near_dup_candidate_count(
         batch_format="pandas",
     )
 
-    class BucketCounts(_AggBase):
-        def __init__(self):
-            super().__init__(
-                name="bucket_counts",
-                zero_factory=lambda: (np.array([], np.int64), np.array([], np.int64)),
-                on=None,
-                ignore_nulls=True,
-            )
+    def partial_counts(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["bucket"].to_pandas(), np.int64)
+        uk, c = np.unique(b, return_counts=True)
+        part = (uk.astype(np.uint64) >> np.uint64(3)) % np.uint64(P)
+        return pa.table(
+            {
+                "__part": pa.array(part.astype(np.int64)),
+                "bucket": pa.array(uk),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
 
-        def aggregate_block(self, block):
-            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
-            b = np.asarray(tbl["bucket"].to_pandas(), np.int64)
-            uk, counts = np.unique(b, return_counts=True)
-            return (uk, counts.astype(np.int64))
+    def part_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bucket"].to_numpy()
+        c = df["n"].to_numpy()
+        order = np.argsort(b, kind="stable")
+        b, c = b[order], c[order]
+        first = np.ones(len(b), bool)
+        first[1:] = b[1:] != b[:-1]
+        idx = np.flatnonzero(first)
+        tot = np.add.reduceat(c, idx) if len(idx) else np.array([], np.int64)
+        coll = tot > 1
+        return pd.DataFrame(
+            {
+                "buckets": [int(len(idx))],
+                "collision_buckets": [int(coll.sum())],
+                "colliding_rows": [int(tot[coll].sum())],
+            }
+        )
 
-        def combine(self, a, b):
-            return merge_count_states(a, b)
-
-    # the doc ids aren't needed for counting — drop them before aggregation
-    # (8-byte buckets instead of 48-byte rows) and coalesce into a few large
-    # blocks so the merge tree is shallow
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    res = (
-        banded.select_columns(["bucket"])
-        .repartition(max(16, 2 * ncpu))
-        .aggregate(BucketCounts())
+    rolled = (
+        banded.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_rollup, batch_format="pandas")
+        .to_pandas()  # <= P rows of 3 ints
     )
-    uk, counts = res["bucket_counts"]
-    coll = counts > 1
     return {
-        "buckets": int(len(uk)),
-        "collision_buckets": int(coll.sum()),
-        "colliding_rows": int(counts[coll].sum()),
+        "buckets": int(rolled["buckets"].sum()),
+        "collision_buckets": int(rolled["collision_buckets"].sum()),
+        "colliding_rows": int(rolled["colliding_rows"].sum()),
     }
 
 
@@ -470,6 +490,11 @@ def _verify_pairs_texts(t: pa.Table, shingle_k: int = 5) -> pa.Table:
     )
 
 
+# introspection for tests/telemetry: which verify plan the last
+# near_dup_pairs call took, and why
+LAST_VERIFY_PLAN: dict = {}
+
+
 def near_dup_pairs(
     ds,
     text_col: str = "text",
@@ -480,6 +505,7 @@ def near_dup_pairs(
     threshold: float = 0.7,
     max_bucket: int = 512,
     broadcast_threshold: int = 200_000,
+    broadcast_bytes_budget: int = 256 * 1024 * 1024,
     concurrency=(2, 16),
 ):
     """MinHash+LSH near-duplicate pairs, fully distributed: returns a Dataset
@@ -495,11 +521,14 @@ def near_dup_pairs(
        bands);
     4. candidate doc ids via distributed ``unique`` (ids only — the one
        driver-side artifact, 8 bytes per colliding doc);
-    5. exact verify: candidate texts semi-joined from the corpus; **broadcast
-       plan** (candidate set fits the object store: texts ``ray.put`` once,
-       verified on an actor pool with per-actor shingle caches) or **joined
-       plan** (``Dataset.join`` pairs⋈texts twice, stateless verify) above
-       ``broadcast_threshold`` candidates.
+    5. exact verify: candidate texts semi-joined from the corpus and
+       MATERIALIZED once in the object store (so neither plan re-scans the
+       corpus); **broadcast plan** when the candidate set is small by BOTH
+       count (``broadcast_threshold``) and bytes (``broadcast_bytes_budget``
+       — a handful of 100 MB docs must not squeeze through the driver heap):
+       texts ``ray.put`` once, verified on an actor pool with per-actor
+       shingle caches; otherwise the **joined plan**: ``Dataset.join``
+       pairs⋈texts twice, stateless verify.
     """
     import ray as _ray
     import ray.data as _rd
@@ -549,9 +578,19 @@ def near_dup_pairs(
 
     cand_texts = ds.select_columns([id_col, text_col]).map_batches(
         _semi_ids, batch_format="pyarrow"
-    )
+    ).materialize()
+    cand_bytes = cand_texts.size_bytes() or 0
 
-    if len(cand_ids) <= broadcast_threshold:
+    use_broadcast = (
+        len(cand_ids) <= broadcast_threshold and cand_bytes <= broadcast_bytes_budget
+    )
+    LAST_VERIFY_PLAN.clear()
+    LAST_VERIFY_PLAN.update(
+        plan="broadcast" if use_broadcast else "joined",
+        candidates=int(len(cand_ids)),
+        candidate_bytes=int(cand_bytes),
+    )
+    if use_broadcast:
         texts: dict = {}
         for b in cand_texts.iter_batches(batch_size=8192, batch_format="pyarrow"):
             texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))

@@ -876,6 +876,36 @@ def q29_gold_resumo_top(sf_dir: str) -> pd.DataFrame:
     return top[["c_name", "n_orders", "total_price"]].reset_index(drop=True)
 
 
+def q30_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs, oracle-checked END-TO-END: the
+    LSH-bucketed blocking pipeline (``embedding_near_dups`` — hyperplane
+    signature buckets -> per-bucket exact pairwise cosine) over the
+    embeddings table plus SQL-reproducible planted near-dups (8 exact copies
+    and 4 scaled copies — both cosine 1.0 to their originals, and identical
+    hyperplane signs, so LSH recall is exact).  The DuckDB oracle computes
+    the exhaustive pairwise cosine join, so a bucketing false negative above
+    the threshold would mismatch.  Output is (id_a, id_b) only: DuckDB's
+    list_cosine_similarity is float32, so scores are asserted via the
+    threshold filter, not value-compared (same convention as q16)."""
+    from aws_medallion_datalake_ray.functions.embeddings import embedding_near_dups
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = emb.filter(pc.less(emb["vec_id"], 8)).to_pandas()
+    exact["vec_id"] = exact["vec_id"] + 100000
+    scaled = emb.filter(
+        pc.and_(pc.greater_equal(emb["vec_id"], 8), pc.less(emb["vec_id"], 12))
+    ).to_pandas()
+    scaled["vec_id"] = scaled["vec_id"] + 200000
+    scaled["embedding"] = scaled["embedding"].map(lambda v: [2.0 * float(x) for x in v])
+    corpus = pd.concat([emb.to_pandas(), exact, scaled], ignore_index=True)
+    dim = len(corpus["embedding"].iloc[0])
+    pairs = embedding_near_dups(
+        ray.data.from_pandas(corpus), dim=dim, threshold=0.9, n_planes=8
+    )
+    out = pairs[["id_a", "id_b"]].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q31_gold_monthly_rollup(sf_dir: str) -> pd.DataFrame:
     """Time-dimension star join (athena_gold_queries.sql:20-31 shape:
     ``JOIN dim_tempo t ON f.data_key = t.data_key`` with a year/month
@@ -1137,6 +1167,23 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY r.total_price DESC, c.c_name
         LIMIT 10
     """,
+    "q30_embedding_near_dup": """
+        -- exhaustive pairwise cosine over embeddings + planted copies (8
+        -- exact, 4 scaled-by-2): the ground truth the LSH-bucketed pipeline
+        -- must reproduce exactly at threshold 0.9 (max natural pair ~0.6)
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 8
+            UNION ALL
+            SELECT vec_id + 200000, list_transform(embedding, x -> x * 2)
+            FROM embeddings WHERE vec_id >= 8 AND vec_id < 12
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        ORDER BY id_a, id_b
+    """,
     "q31_gold_monthly_rollup": """
         -- recompute the dim_tempo year/month rollup from the raw view; the
         -- engine side answers by joining its promoted gold fact to its own
@@ -1220,5 +1267,6 @@ SQL_QUERIES = {
     "q27_lsh_near_dup_pairs": q27_lsh_near_dup_pairs,
     "q28_gold_star_join": q28_gold_star_join,
     "q29_gold_resumo_top": q29_gold_resumo_top,
+    "q30_embedding_near_dup": q30_embedding_near_dup,
     "q31_gold_monthly_rollup": q31_gold_monthly_rollup,
 }

@@ -1128,20 +1128,52 @@ class LakeTable:
 
     def delete_keys(
         self,
-        removal_keys: "np.ndarray | list[str]",
+        removal_keys: "np.ndarray | list[str] | ray.data.Dataset",
         key: Sequence[str] = SOURCE_FILES_KEY,
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
         operation: str = "delete",
+        broadcast_threshold: int = 2_000_000,
+        strategy: str = "auto",
     ) -> dict[str, Any]:
         """Copy-on-write DELETE of the rows whose joined key string is in
-        ``removal_keys`` — merge's broadcast anti-join plan with no update
-        side.  Stats-pruned: only files whose first-key range intersects the
-        removal set are rewritten."""
+        ``removal_keys``.  Two physical plans (mirror of :meth:`merge`):
+
+        - **broadcast** (key set fits the object store): sorted fixed-width
+          key array ``ray.put`` once, stats-pruned anti-join on the workers;
+        - **partitioned** (huge removal sets — e.g. a 100-TB ``dedup_near``
+          with billions of dup keys): the removal keys stay a Dataset
+          end-to-end; base and removal are co-partitioned by ``Dataset.join``
+          on the joined key (left-outer + hit marker, anti-join semantics) so
+          no key array ever materializes on the driver.
+
+        ``removal_keys`` may be a driver array/list of joined key strings or
+        a single-column Dataset of them; ``strategy``: "auto" (count-based),
+        "broadcast", or "partitioned"."""
         key = tuple(key)
+        if isinstance(removal_keys, ray.data.Dataset):
+            n_rm = removal_keys.count()
+            if n_rm == 0:
+                return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
+            if strategy == "partitioned" or (
+                strategy == "auto" and n_rm > broadcast_threshold
+            ):
+                return self._delete_keys_partitioned(
+                    removal_keys, key=key, run_ts=run_ts, job_id=job_id,
+                    operation=operation,
+                )
+            kcol = removal_keys.schema().base_schema.names[0]
+            removal_keys = removal_keys.unique(kcol)
         raw = np.asarray(list(removal_keys), dtype=object)
         if len(raw) == 0:
             return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
+        if strategy == "partitioned" or (
+            strategy == "auto" and len(raw) > broadcast_threshold
+        ):
+            return self._delete_keys_partitioned(
+                ray.data.from_arrow(pa.table({"__rm_key": pa.array(raw, pa.string())})),
+                key=key, run_ts=run_ts, job_id=job_id, operation=operation,
+            )
         lens_all = np.array([len(x.encode("utf-8")) for x in raw], dtype=np.int32)
         fixed = _to_fixed_bytes(raw, f"S{max(1, int(lens_all.max()))}")
         uniq, first_idx = np.unique(fixed, return_index=True)
@@ -1191,6 +1223,111 @@ class LakeTable:
         ledger.finish()
         return {**summary, "files_out": len(added)}
 
+    def _delete_keys_partitioned(
+        self,
+        removal: "ray.data.Dataset",
+        key: tuple[str, ...],
+        run_ts: str,
+        job_id: str | None,
+        operation: str,
+    ) -> dict[str, Any]:
+        """DELETE for huge removal key sets: distributed anti-join.
+
+        The removal keys (a single-column Dataset of joined key strings) are
+        deduplicated with the hash-partitioned dedup, then ``Dataset.join``ed
+        left-outer against the stats-pruned base files on the joined key; rows
+        with a hit marker are dropped per partition.  Nothing larger than the
+        distinct FIRST key component (repo-cardinality, for file pruning)
+        ever reaches the driver."""
+        from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+        kcol = removal.schema().base_schema.names[0]
+        rmd = removal.map_batches(
+            lambda t, c=kcol: pa.table(
+                {"__rm_key": pc.cast(t[c], pa.string()),
+                 "__rm_hit": pa.array(np.ones(len(t), np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        rmd = exact_dedup(rmd, ("__rm_key",)).materialize()
+        n_rm = rmd.count()
+        if n_rm == 0:
+            return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
+
+        # file pruning on the distinct first key component (dim cardinality)
+        def first_comp(t: pa.Table) -> pa.Table:
+            v = np.array(
+                [s.split(_KEY_SEP)[0] for s in t["__rm_key"].to_pylist()],
+                dtype=object,
+            )
+            return pa.table({"f": pa.array(v, pa.string())})
+
+        rm_first = np.array(
+            sorted(rmd.map_batches(first_comp, batch_format="pyarrow").unique("f")),
+            dtype=object,
+        )
+        affected: list[DataFile] = []
+        for f in self.files():
+            st = f.stats.get(key[0])
+            if st is None or st.get("min") is None or st.get("max") is None:
+                affected.append(f)
+                continue
+            i = np.searchsorted(rm_first, st["min"])
+            if i < len(rm_first) and rm_first[i] <= st["max"]:
+                affected.append(f)
+        if not affected:
+            return {"removed_keys": int(n_rm), "affected_files": 0, "files_out": 0}
+
+        job_id = job_id or f"{operation}-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op=f"{operation}-partitioned", run_ts=run_ts)
+        ledger.mark_running(operation, [f.path for f in affected])
+
+        def add_k(t: pa.Table) -> pa.Table:
+            return t.append_column("__k", pa.array(_join_keys(t, key), pa.string()))
+
+        base = self._read_files(affected).map_batches(add_k, batch_format="pyarrow")
+        # join aggregators are actors — more partitions than CPUs deadlocks a
+        # small cluster; ~half the CPUs still means hundreds of partitions on
+        # a multi-node cluster
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        nparts = max(2, ncpu // 2)
+        joined = base.join(
+            rmd, join_type="left_outer", num_partitions=nparts,
+            on=("__k",), right_on=("__rm_key",),
+        )
+        schema = self.schema()
+
+        def keep_misses(t: pa.Table) -> pa.Table:
+            out = t.filter(pc.is_null(t["__rm_hit"]))
+            out = out.drop_columns(
+                [c for c in ("__k", "__rm_key", "__rm_hit") if c in out.column_names]
+            )
+            if schema is not None:
+                out = out.select(schema.names).cast(schema)
+            return out
+
+        survivors = joined.map_batches(keep_misses, batch_format="pyarrow")
+        added = self._write_dataset(
+            survivors, min_rows_per_file=self._coalesce_rows_target(affected)
+        )
+        removed = [f.path for f in affected]
+        summary = {
+            "removed_keys": int(n_rm),
+            "affected_files": len(affected),
+            "rows_deleted": sum(f.rows for f in affected) - sum(f.rows for f in added),
+            "strategy": "partitioned",
+        }
+        ledger.mark_completed(operation, removed, [f.path for f in added], summary)
+        self.store.commit(
+            added, removed, operation, run_ts,
+            schema_json=self._commit_file_schema(added) or (
+                _schema_to_json(self.schema()) if self.schema() else None
+            ),
+            summary=summary,
+        )
+        ledger.finish()
+        return {**summary, "files_out": len(added)}
+
     def dedup_near(
         self,
         text_col: str = "content",
@@ -1202,6 +1339,7 @@ class LakeTable:
         max_bucket: int = 512,
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
+        broadcast_threshold: int = 2_000_000,
     ) -> dict[str, Any]:
         """Distributed near-duplicate REMOVAL, end-to-end on workers: MinHash+
         LSH candidates over ``text_col`` -> exact shingle-Jaccard verify ->
@@ -1211,10 +1349,11 @@ class LakeTable:
         this is the marquee 100-TB training-data op.
 
         Scale shape: texts never reach the driver — candidates, verification
-        and the survivor rewrite all run as Dataset stages; the only
-        driver-side artifact is the verified-duplicate key array (one short
-        string per *removed* row), the same cardinality class merge already
-        broadcasts.
+        and the survivor rewrite all run as Dataset stages, and the removal
+        key set stays a Dataset into :meth:`delete_keys`, which broadcasts it
+        only when it fits (``broadcast_threshold``) and otherwise runs the
+        fully partitioned anti-join — nothing grows with the dup count on the
+        driver.
         """
         from aws_medallion_datalake_ray.functions.dedup import near_dup_pairs
 
@@ -1235,15 +1374,16 @@ class LakeTable:
             max_bucket=max_bucket,
         )
         # drop every id that is a verified near-dup of a lexically smaller id
-        # (id_a < id_b by construction): distributed unique of id_b only
+        # (id_a < id_b by construction): the removal ids stay a DATASET —
+        # delete_keys dedups them and picks the broadcast or partitioned plan
         rm = pairs.map_batches(
             lambda t: pa.table({"rid": t["id_b"]}), batch_format="pyarrow"
         ).materialize()
-        removal = rm.unique("rid") if rm.count() else []
         res = self.delete_keys(
-            removal, key=key, run_ts=run_ts, job_id=job_id, operation="dedup-near"
+            rm, key=key, run_ts=run_ts, job_id=job_id, operation="dedup-near",
+            broadcast_threshold=broadcast_threshold,
         )
-        res["near_dup_rows"] = len(removal)
+        res["near_dup_rows"] = res["removed_keys"]
         return res
 
     # ------------------------------------------------------------ verification

@@ -66,6 +66,63 @@ def test_near_dup_pairs_joined_plan_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(broad, joined, check_like=True)
 
 
+def test_candidate_count_matches_exact_and_state_is_sublinear(ray_session):
+    """The distributed collision scan must (a) equal an exact in-process
+    bucket-count ground truth and (b) carry only O(P) rollup rows — three
+    integers per hash partition — never an O(docs x bands) map."""
+    from aws_medallion_datalake_ray.functions.dedup import (
+        BandEmitter,
+        near_dup_candidate_count,
+    )
+
+    corpus = _plant(_disjoint_corpus(60), 10)
+    got = near_dup_candidate_count(
+        ray.data.from_arrow(corpus), text_col="text", id_col="doc_id",
+        num_perm=64, bands=16, num_partitions=8,
+    )
+    # exact ground truth: same emitter, single process
+    em = BandEmitter(id_col="doc_id", text_col="text", bands=16, num_perm=64)
+    buckets = em.buckets_of(corpus["text"].to_pylist()).reshape(-1)
+    uk, c = np.unique(buckets, return_counts=True)
+    assert got["buckets"] == len(uk)
+    assert got["collision_buckets"] == int((c > 1).sum())
+    assert got["colliding_rows"] == int(c[c > 1].sum())
+    # sublinear by construction: the driver-side result of the rollup stage
+    # is bounded by num_partitions rows regardless of corpus size
+    assert got["buckets"] > 8  # many buckets, yet the scan returned 3 ints
+
+
+def test_verify_plan_byte_budget_forces_join(ray_session):
+    """Few-but-huge candidate docs must take the JOINED verify plan even
+    though the candidate COUNT is tiny — the broadcast decision is budgeted
+    on bytes, not count — and the result must match the broadcast plan."""
+    from aws_medallion_datalake_ray.functions import dedup as dd
+
+    n_docs, doc_len = 8, 2000  # ~8 x ~14 KB of text
+    texts = [" ".join(f"w{i}_{j}" for j in range(doc_len)) for i in range(n_docs)]
+    corpus = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                       "text": pa.array(texts, pa.string())})
+    corpus = _plant(corpus, 3)
+
+    joined = minhash_near_dups(
+        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32
+    )
+    # default 256 MB budget: tiny corpus broadcasts...
+    broad = minhash_near_dups(
+        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32
+    )
+    assert dd.LAST_VERIFY_PLAN["plan"] == "broadcast"
+    # ...but a 100 KB budget forces the joined plan despite only 6 candidates
+    out = near_dup_pairs(
+        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32,
+        broadcast_bytes_budget=50_000,
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert dd.LAST_VERIFY_PLAN["plan"] == "joined"
+    assert dd.LAST_VERIFY_PLAN["candidates"] <= 8
+    assert dd.LAST_VERIFY_PLAN["candidate_bytes"] > 50_000
+    pd.testing.assert_frame_equal(broad.to_pandas(), out, check_like=True)
+
+
 def test_mega_bucket_chain_bounded(ray_session):
     """An all-identical corpus lands in one bucket; the chain fallback keeps
     pair count O(n) and removal still keeps exactly one representative."""
@@ -113,6 +170,68 @@ def test_dedup_near_sha256_multiset_exact(tmp_path, ray_session):
     assert res["rows_deleted"] == 6 and res["near_dup_rows"] == 6
     assert t.scan().count() == 40
     assert t.sha256_checksum("content") == t_base.sha256_checksum("content")
+
+
+def test_dedup_near_partitioned_path_sha256_multiset_exact(tmp_path, ray_session):
+    """Same invariants as the broadcast test, but through the partitioned
+    anti-join fallback (broadcast_threshold=0 forces it): removal ids stay a
+    Dataset end-to-end, no driver key array."""
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    base_df = pd.DataFrame(
+        {
+            "repo": [f"org/r{i % 4}" for i in range(40)],
+            "path": [f"src/f{i}.py" for i in range(40)],
+            "commit": [f"{i:040x}" for i in range(40)],
+            "lang": ["py"] * 40,
+            "content": [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(40)],
+        }
+    )
+    base = pa.Table.from_pandas(base_df, preserve_index=False).cast(SOURCE_FILES_SCHEMA)
+    dup_df = base_df.head(6).copy()
+    dup_df["path"] = "zzz_" + dup_df["path"]
+    dup_df["commit"] = [f"f{i:039x}" for i in range(6)]
+    dup_df["content"] = dup_df["content"] + " extra"
+    dups = pa.Table.from_pandas(dup_df, preserve_index=False).cast(SOURCE_FILES_SCHEMA)
+
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.concat_tables([base, dups]))
+    t_base = LakeTable.create(str(tmp_path / "base_only"))
+    t_base.append(base)
+
+    res = t.dedup_near(text_col="content", threshold=0.5, broadcast_threshold=0)
+    assert res.get("strategy") == "partitioned"
+    assert res["rows_deleted"] == 6 and res["near_dup_rows"] == 6
+    assert t.scan().count() == 40
+    assert t.sha256_checksum("content") == t_base.sha256_checksum("content")
+    # post-delete schema must round-trip the canonical large_string content
+    assert t.schema().field("content").type == t_base.schema().field("content").type
+
+
+def test_delete_keys_partitioned_strategy_direct(tmp_path, ray_session):
+    """delete_keys(strategy='partitioned') from a driver key list removes
+    exactly the named rows (duplicate removal keys collapse to one)."""
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    df = pd.DataFrame(
+        {
+            "repo": [f"org/r{i % 3}" for i in range(30)],
+            "path": [f"p{i}" for i in range(30)],
+            "commit": [f"{i:040x}" for i in range(30)],
+            "lang": ["py"] * 30,
+            "content": [f"line {i} " * 5 for i in range(30)],
+        }
+    )
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.Table.from_pandas(df, preserve_index=False).cast(SOURCE_FILES_SCHEMA))
+    keys = [
+        "\x1f".join([df["repo"][i], df["path"][i], df["commit"][i]]) for i in (0, 5, 9)
+    ]
+    out = t.delete_keys(keys + keys[:1], strategy="partitioned")
+    assert out["strategy"] == "partitioned"
+    assert out["removed_keys"] == 3 and out["rows_deleted"] == 3
+    surv = t.to_arrow(columns=["path"])["path"].to_pylist()
+    assert set(surv) == {f"p{i}" for i in range(30)} - {"p0", "p5", "p9"}
 
 
 def test_dedup_near_noop_on_unique_corpus(tmp_path, ray_session):
