@@ -142,14 +142,31 @@ def zorder_key(
     return interleave_bits(keys, bits_per_dim, weights=weights)
 
 
-def hilbert_key(columns, bits_per_dim: int = 10, bounds: list | None = None) -> np.ndarray:
+def hilbert_key(
+    columns, bits_per_dim: int = 10, bounds: list | None = None,
+    lead_bits: int | None = None,
+) -> np.ndarray:
     """Hilbert-curve key over k order-preserving column encodings (Skilling's
     transpose algorithm, vectorized across rows; loops only over k*bits).
 
     Better locality than Z-order (no long diagonal jumps); costlier to
     compute — O(k * bits) numpy passes.
+
+    ``lead_bits``: leading-column-major variant (parity with the Z-curve's
+    ``weights`` trick).  The Hilbert transform itself requires EQUAL bits per
+    dim (it walks a hypercube), so per-dim bit allocation is achieved by
+    COMPOSITION instead: the lead column's rank owns the top ``lead_bits``
+    bits of the key and the remaining dims are Hilbert-interleaved below —
+    an equality predicate on the lead dim then maps to one contiguous key
+    range (real file pruning) while the sub-key keeps Hilbert locality.
     """
     k = len(columns)
+    if lead_bits and k > 1:
+        bnds = list(bounds) if bounds else [None] * k
+        lead = _top_bits(order_preserving_u64(columns[0], bnds[0]), lead_bits)
+        sub_bits = min(bits_per_dim, max(1, (63 - lead_bits) // (k - 1)))
+        sub = hilbert_key(columns[1:], sub_bits, bnds[1:])
+        return (lead << np.uint64(sub_bits * (k - 1))) | sub
     bounds = bounds or [None] * k
     x = [
         _top_bits(order_preserving_u64(c, b), bits_per_dim).astype(np.uint64)

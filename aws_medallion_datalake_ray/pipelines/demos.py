@@ -248,41 +248,52 @@ def demo_dedup_near_removal(sf_dir: str) -> pd.DataFrame:
 
 
 def demo_rest_fanout_ingest(sf_dir: str) -> pd.DataFrame:
-    """REST fan-out ingest (SURVEY S1, bronze_digit.py:28-109 shape): token
-    auth once per actor, (entity x endpoint) fan-out with retries on the
-    deterministic no-network transport, bronze-normalized rows appended to a
-    LakeTable."""
-    from aws_medallion_datalake_ray.sources.rest import (
-        FakeDigitTransport,
-        read_rest_fanout,
+    """REST fan-out ingest gated by the ledger watermark (SURVEY S1 x I1,
+    bronze_digit.py:28-109 + watermark_helper.py shape), run TWICE: run 1
+    ingests batch-000; run 2 sees batch-000 already completed (skipped) and
+    picks up only the newly arrived batch-001 — token auth once per actor,
+    per-entity retries on the deterministic no-network transport."""
+    from aws_medallion_datalake_ray.pipelines.incremental import (
+        incremental_rest_ingest,
     )
+    from aws_medallion_datalake_ray.sources.rest import FakeDigitTransport
 
-    n_entities = 30
-    ds = read_rest_fanout(
-        entity_ids=[f"O{i}" for i in range(n_entities)],
-        endpoints=["horas_funcao", "resumo_periodo"],
-        transport_factory=lambda: FakeDigitTransport(
-            rows_per_entity=4, fail_first_for=(("horas_funcao", "O3"),)
-        ),
+    endpoints = ["horas_funcao", "resumo_periodo"]
+    factory = lambda: FakeDigitTransport(  # noqa: E731
+        rows_per_entity=4, fail_first_for=(("horas_funcao", "O3"),)
+    )
+    kw = dict(
+        endpoints=endpoints,
+        transport_factory=factory,
+        job_id="rest-ingest",
         auth={"user": "svc", "password": "x"},
         lineage={"api_source": "digit", "extraction_date": _TS[:10]},
-        concurrency=(1, 4),
     )
+    batch0 = {"batch-000": [f"O{i}" for i in range(15)]}
+    batch1 = {**batch0, "batch-001": [f"O{i}" for i in range(15, 30)]}
+
     root = os.path.join(tempfile.gettempdir(), "amdl-demo-rest")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(root, stats_cols=("entity_id", "endpoint"))
-    t.append(ds, run_ts=_TS)
-    got = t.scan().count()
-    by_ep = (
-        t.to_arrow(columns=["endpoint"]).to_pandas()["endpoint"].value_counts()
-    )
+    r1 = incremental_rest_ingest(t, batch0, run_ts=_TS, **kw)
+    rows_run1 = t.scan().count()
+    r2 = incremental_rest_ingest(t, batch1, run_ts=_TS, **kw)
+    rows_run2 = t.scan().count()
     return pd.DataFrame(
         [
             {
-                "rows_ingested": int(got),
-                "rows_expected": n_entities * 2 * 4,
-                "endpoints": int(len(by_ep)),
-                "retried_entity_present": int(got == n_entities * 2 * 4),
+                "run1_processed": len(r1["processed"]),
+                "run1_skipped": len(r1["skipped"]),
+                "run2_processed": len(r2["processed"]),
+                "run2_skipped": len(r2["skipped"]),
+                "rows_after_run1": int(rows_run1),
+                "rows_after_run2": int(rows_run2),
+                "rows_expected": 30 * 2 * 4,
+                "watermark_resume_ok": int(
+                    r2["processed"] == ["batch-001"]
+                    and r2["skipped"] == ["batch-000"]
+                    and rows_run2 == 30 * 2 * 4
+                ),
             }
         ]
     )

@@ -44,6 +44,28 @@ def discover_partitions(input_root: str) -> dict[str, list[str]]:
     return out
 
 
+def _promote_one(
+    target: LakeTable,
+    ds: ray.data.Dataset,
+    pname: str,
+    in_refs: list[str],
+    ledger: Ledger,
+    run_ts: str,
+    operation: str,
+) -> None:
+    """Append one partition's dataset and record lineage (input refs ->
+    output files) + metrics in the ledger."""
+    snap = target.append(ds, run_ts=run_ts, operation=f"{operation}:{pname}")
+    snap_files = target.store.files(snap)
+    parent_files = target.store.files(snap.parent_id) if snap.parent_id else []
+    parent_paths = {x.path for x in parent_files}
+    out_files = [f.path for f in snap_files if f.path not in parent_paths]
+    rows = sum(f.rows for f in snap_files) - sum(f.rows for f in parent_files)
+    ledger.mark_completed(
+        pname, in_refs, out_files, {"rows_out": rows, "snapshot_id": snap.snapshot_id}
+    )
+
+
 def incremental_promote(
     input_root: str,
     target: LakeTable,
@@ -64,15 +86,53 @@ def incremental_promote(
         files = parts[pname]
         ledger.mark_running(pname, files)
         ds = transform(ray.data.read_parquet(files))
-        snap = target.append(ds, run_ts=run_ts, operation=f"incremental:{pname}")
-        snap_files = target.store.files(snap)
-        parent_files = target.store.files(snap.parent_id) if snap.parent_id else []
-        parent_paths = {x.path for x in parent_files}
-        out_files = [f.path for f in snap_files if f.path not in parent_paths]
-        rows = sum(f.rows for f in snap_files) - sum(f.rows for f in parent_files)
-        ledger.mark_completed(
-            pname, files, out_files, {"rows_out": rows, "snapshot_id": snap.snapshot_id}
+        _promote_one(target, ds, pname, files, ledger, run_ts, "incremental")
+
+    ledger.finish()
+    return {
+        "processed": pending,
+        "skipped": skipped,
+        "metrics": ledger.job_metrics,
+    }
+
+
+def incremental_rest_ingest(
+    target: LakeTable,
+    entity_batches: dict[str, list[str]],
+    endpoints: list[str],
+    transport_factory,
+    job_id: str,
+    run_ts: str,
+    auth: dict | None = None,
+    lineage: dict | None = None,
+    concurrency=(1, 4),
+) -> dict:
+    """REST fan-out ingest gated by the ledger watermark (SURVEY S1 x I1:
+    the reference's DynamoDB high-water-mark around its per-obra fetch loop,
+    ``watermark_helper.py:9-42`` + ``bronze_digit.py:46-109``).
+
+    ``entity_batches``: named batch -> entity id list (the partition axis).
+    A re-run with the same ``job_id`` skips completed batches — only NEW
+    batches are fetched and appended, so a scheduled ingest picks up exactly
+    the entities that arrived since the last run, and a crashed run resumes.
+
+    Returns {"processed": [...], "skipped": [...], "metrics": {...}}.
+    """
+    from aws_medallion_datalake_ray.sources.rest import read_rest_fanout
+
+    ledger = Ledger(target.root, job_id, op="incremental-rest", run_ts=run_ts)
+    pending = ledger.pending(entity_batches.keys())
+    skipped = [p for p in entity_batches if p not in pending]
+
+    for pname in pending:
+        ids = entity_batches[pname]
+        in_refs = [f"rest:{pname}:{e}" for e in endpoints]
+        ledger.mark_running(pname, in_refs)
+        ds = read_rest_fanout(
+            ids, endpoints, transport_factory, auth=auth, lineage=lineage,
+            concurrency=concurrency,
         )
+        _promote_one(target, ds, pname, in_refs, ledger, run_ts, "incremental-rest")
 
     ledger.finish()
     return {

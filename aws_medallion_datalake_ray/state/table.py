@@ -736,13 +736,17 @@ class LakeTable:
 
         # leading-column-major bit allocation when the lead dim has a vocab:
         # ALL its rank bits first (single contiguous key range per value ->
-        # real file pruning on equality scans), remaining dims z-interleaved
+        # real file pruning on equality scans), remaining dims interleaved —
+        # z-curve via weights, hilbert via lead-major composition (lead_bits)
         key_kwargs: dict[str, Any] = {"bounds": bounds}
-        if curve != "hilbert" and isinstance(bounds[0], np.ndarray) and len(cols) > 1:
+        if isinstance(bounds[0], np.ndarray) and len(cols) > 1:
             lead_bits = max(4, int(np.ceil(np.log2(len(bounds[0]) + 1))))
-            rest = (63 - lead_bits) // (len(cols) - 1)
-            key_kwargs["bits_per_dim"] = [lead_bits] + [rest] * (len(cols) - 1)
-            key_kwargs["weights"] = [lead_bits] + [1] * (len(cols) - 1)
+            if curve == "hilbert":
+                key_kwargs["lead_bits"] = lead_bits
+            else:
+                rest = (63 - lead_bits) // (len(cols) - 1)
+                key_kwargs["bits_per_dim"] = [lead_bits] + [rest] * (len(cols) - 1)
+                key_kwargs["weights"] = [lead_bits] + [1] * (len(cols) - 1)
 
         def add_key(batch: pa.Table) -> pa.Table:
             k = keyfn([batch[c] for c in cols], **key_kwargs)

@@ -74,6 +74,17 @@ def test_hilbert_key_deterministic():
     assert len(np.unique(h1)) == 3
 
 
+def test_hilbert_lead_major_contiguous():
+    """lead_bits composition: every key of a smaller-ranked lead value sorts
+    strictly below every key of a larger-ranked one — the contiguous-range
+    property equality pruning relies on."""
+    vocab = np.array(["aa", "bb", "cc"], dtype=object)
+    lead = pa.array(["aa"] * 4 + ["bb"] * 4)
+    other = pa.array(["p1", "p2", "p3", "p4"] * 2)
+    k = hilbert_key([lead, other], bits_per_dim=8, bounds=[vocab, None], lead_bits=4)
+    assert k[:4].max() < k[4:].min()
+
+
 # ---------------------------------------------------------------- cleaning
 
 

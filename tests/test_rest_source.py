@@ -56,3 +56,26 @@ def test_permanent_failure_raises():
     f = RestFetcher(lambda: DeadTransport(), auth={}, max_retries=2, backoff_sec=0.0)
     with pytest.raises(TransportError, match="after retries"):
         f({"endpoint": ["e"], "entity_id": ["1"]})
+
+
+def test_incremental_rest_ingest_watermark_resume(tmp_path, ray_session):
+    """Second run with the same job_id skips completed entity batches and
+    ingests only the newly arrived one (ledger high-water mark, S1 x I1)."""
+    from aws_medallion_datalake_ray.pipelines.incremental import (
+        incremental_rest_ingest,
+    )
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    t = LakeTable.create(str(tmp_path / "t"), stats_cols=("entity_id",))
+    kw = dict(
+        endpoints=["horas"],
+        transport_factory=lambda: FakeDigitTransport(rows_per_entity=2),
+        job_id="j1",
+        run_ts="2024-01-01T00:00:00",
+    )
+    r1 = incremental_rest_ingest(t, {"b0": ["O0", "O1"]}, **kw)
+    assert r1["processed"] == ["b0"] and r1["skipped"] == []
+    assert t.scan().count() == 4
+    r2 = incremental_rest_ingest(t, {"b0": ["O0", "O1"], "b1": ["O2"]}, **kw)
+    assert r2["processed"] == ["b1"] and r2["skipped"] == ["b0"]
+    assert t.scan().count() == 6  # b0 NOT double-ingested

@@ -130,9 +130,20 @@ def test_zorder_predicate_scoped(table):
 
 
 def test_hilbert_curve_variant(table):
+    from aws_medallion_datalake_ray.state.table import prune_files
+
     fp = table.content_fingerprint(FP_COLS)
     table.zorder(["repo", "lang"], curve="hilbert", target_file_bytes=512 * 1024, run_ts=TS)
     assert table.content_fingerprint(FP_COLS) == fp
+    # lead-major composition (hilbert_key lead_bits): a single-repo equality
+    # scan must prune files, same as the z-curve's weighted allocation
+    files = table.files()
+    if len(files) > 2:
+        repos = sorted(set(table.to_arrow(columns=["repo"])["repo"].to_pylist()))
+        kept = min(
+            len(prune_files(files, [("repo", "==", r)])) for r in repos[:4]
+        )
+        assert kept < len(files)
 
 
 def test_rewrite_stats_adds_bounds(table):
