@@ -682,13 +682,25 @@ class LakeTable:
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
         predicate: Predicate | None = None,
+        method: str = "sort",
     ) -> dict[str, Any]:
         """Rewrite (part of) the table clustered by a bit-interleaved
         (Z/Hilbert) key.
 
-        The sort is Ray Data's range-partitioning shuffle; each output file
-        then covers a narrow key range in *all* clustered dimensions, so the
-        manifest min/max stats prune multi-column predicates.
+        ``method="sort"`` (default): Ray Data's built-in range-shuffle
+        ``Dataset.sort``.  ``method="range"``: explicit sample-sort — one
+        histogram pass over the materialized keys picks skew-aware range
+        boundaries, rows are range-partitioned into ~output-file-count
+        groups and each group is sorted independently (Arrow
+        ``sort_indices`` + ``take``); bounded driver state (<= 65536
+        histogram cells) and no sampling re-execution, the robust plan for
+        very large scoped partitions.  Measured A/B at 1.2M rows (see
+        BASELINE.md round 3): the stage is FIXED-COST-bound at test scale
+        (~2.5 s in the shuffle regardless of 4 vs 16 CPUs), "sort" wins by
+        ~1.8x wall there, and both yield the same pruning fraction — so
+        "sort" is the default and "range" the documented scale path.  Either
+        way each output file covers a narrow key range in *all* clustered
+        dimensions, so manifest min/max stats prune multi-column predicates.
 
         ``predicate`` scopes the rewrite: only matching files (manifest
         pruning) participate and everything else is untouched — at 10^12-file
@@ -753,12 +765,15 @@ class LakeTable:
             return batch.append_column("__cluster_key", pa.array(k))
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        ds = (
-            self._read_files(files, override_num_blocks=max(2 * ncpu, len(files)))
-            .map_batches(add_key, batch_format="pyarrow")
-            .sort("__cluster_key")
-            .drop_columns(["__cluster_key"])
-        )
+        keyed = self._read_files(
+            files, override_num_blocks=max(2 * ncpu, len(files))
+        ).map_batches(add_key, batch_format="pyarrow")
+        if method == "sort":
+            ds = keyed.sort("__cluster_key").drop_columns(["__cluster_key"])
+        else:
+            ds = self._range_partition_sorted(
+                keyed, ncpu=ncpu, total_rows=total_rows, rows_per_file=rows_per_file
+            )
         job_id = job_id or f"{curve}-{uuid.uuid4().hex[:8]}"
         ledger = Ledger(self.root, job_id, op=curve, run_ts=run_ts)
         added = self._write_dataset(
@@ -777,6 +792,70 @@ class LakeTable:
         )
         ledger.finish()
         return {"files_in": len(removed), "files_out": len(added)}
+
+    def _range_partition_sorted(
+        self,
+        keyed: "ray.data.Dataset",
+        ncpu: int,
+        total_rows: int,
+        rows_per_file: int,
+    ) -> "ray.data.Dataset":
+        """Globally sorted dataset from a keyed one WITHOUT a global merge:
+
+        1. materialize the keyed rows once (the shuffle re-reads them anyway);
+        2. histogram the top 16 key bits (<= 65536 cells — bounded regardless
+           of row count; zorder at 10^12-file scale is predicate-scoped per
+           partition, so the per-run histogram stays small) with per-block
+           vectorized partials;
+        3. cut skew-aware range boundaries at ~output-file-size row targets;
+        4. range-partition by boundary search, sort each partition
+           independently (Arrow sort_indices+take — types preserved, no
+           pandas round-trip).
+
+        Partition ranges are disjoint and each partition is sorted, so block
+        order == global key order; per-group sorts scale linearly with CPUs
+        (the classic sample-sort, with the manifest-fed histogram replacing
+        the sampling pass)."""
+        shift = np.uint64(48)
+        keyed = keyed.materialize()
+
+        def coarse_hist(t: pa.Table) -> pa.Table:
+            k = np.asarray(t["__cluster_key"].to_pandas(), np.uint64) >> shift
+            uk, c = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "coarse": pa.array(uk.astype(np.int64)),
+                    "n": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        hist = (
+            keyed.select_columns(["__cluster_key"])
+            .map_batches(coarse_hist, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("coarse")["n"].sum().sort_index()
+        )
+        n_parts = max(2 * ncpu, int(np.ceil(total_rows / max(1, rows_per_file))))
+        target = max(1, total_rows // n_parts)
+        cum = hist.cumsum()
+        # boundary AFTER each coarse cell that crosses a multiple of target
+        cuts = cum[(cum // target).diff().fillna(0) > 0].index.to_numpy()
+        boundaries = cuts.astype(np.uint64)
+
+        def assign_part(t: pa.Table) -> pa.Table:
+            k = np.asarray(t["__cluster_key"].to_pandas(), np.uint64) >> shift
+            part = np.searchsorted(boundaries, k, side="left").astype(np.int32)
+            return t.append_column("__zpart", pa.array(part))
+
+        def sort_group(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(t["__cluster_key"])
+            return t.take(idx).drop_columns(["__cluster_key", "__zpart"])
+
+        return (
+            keyed.map_batches(assign_part, batch_format="pyarrow")
+            .groupby("__zpart")
+            .map_groups(sort_group, batch_format="pyarrow")
+        )
 
     # ------------------------------------------------------------ stats rewrite
 

@@ -146,6 +146,25 @@ def test_hilbert_curve_variant(table):
         assert kept < len(files)
 
 
+def test_zorder_range_method_equivalent(table):
+    """method='range' (explicit sample-sort) preserves the row multiset and
+    prunes at least as well as the default Dataset.sort plan."""
+    from aws_medallion_datalake_ray.state.table import prune_files
+
+    fp = table.content_fingerprint(FP_COLS)
+    res = table.zorder(
+        ["repo", "lang", "path"], target_file_bytes=512 * 1024, run_ts=TS,
+        method="range",
+    )
+    assert res["files_out"] >= 1
+    assert table.content_fingerprint(FP_COLS) == fp
+    files = table.files()
+    if len(files) > 2:
+        repos = sorted(set(table.to_arrow(columns=["repo"])["repo"].to_pylist()))
+        kept = min(len(prune_files(files, [("repo", "==", r)])) for r in repos[:4])
+        assert kept < len(files)
+
+
 def test_rewrite_stats_adds_bounds(table):
     snap = table.rewrite_stats(run_ts=TS)
     files = table.files()
