@@ -506,6 +506,7 @@ def near_dup_pairs(
     max_bucket: int = 512,
     broadcast_threshold: int = 200_000,
     broadcast_bytes_budget: int = 256 * 1024 * 1024,
+    id_broadcast_threshold: int = 5_000_000,
     concurrency=(2, 16),
 ):
     """MinHash+LSH near-duplicate pairs, fully distributed: returns a Dataset
@@ -519,8 +520,10 @@ def near_dup_pairs(
        back to consecutive-chain pairs, see ``_bucket_pairs_fn``);
     3. distinct pairs via hash-partitioned dedup (a pair collides in many
        bands);
-    4. candidate doc ids via distributed ``unique`` (ids only — the one
-       driver-side artifact, 8 bytes per colliding doc);
+    4. candidate doc ids via hash-partitioned distinct — broadcast as one
+       sorted array while they fit (``id_broadcast_threshold``), else kept a
+       DATASET and semi-joined distributed, so even a
+       billion-colliding-doc corpus never lands an id array on the driver;
     5. exact verify: candidate texts semi-joined from the corpus and
        MATERIALIZED once in the object store (so neither plan re-scans the
        corpus); **broadcast plan** when the candidate set is small by BOTH
@@ -552,10 +555,11 @@ def near_dup_pairs(
         chunks = list(ca.chunks) + list(cb.chunks)
         return pa.table({"cid": pa.chunked_array(chunks, type=ca.type)})
 
-    cand_ids = np.array(
-        sorted(pairs.map_batches(_ids_of, batch_format="pyarrow").unique("cid") or [])
-    )
-    if len(cand_ids) == 0:
+    ids_ds = exact_dedup(
+        pairs.map_batches(_ids_of, batch_format="pyarrow"), ("cid",)
+    ).materialize()
+    n_cand = ids_ds.count()
+    if n_cand == 0:
         # empty-result schema keeps the INPUT id type (ids may be strings —
         # dedup_near joins key tuples into string ids)
         id_type = ds.schema().base_schema.field(id_col).type
@@ -568,26 +572,40 @@ def near_dup_pairs(
                 }
             )
         )
-    ids_ref = _ray.put(cand_ids)
 
-    def _semi_ids(t: pa.Table, ref=ids_ref) -> pa.Table:
-        keys = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-        v = np.asarray(t[id_col].to_pandas())
-        idx = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
-        return t.filter(pa.array(keys[idx] == v))
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    if n_cand <= id_broadcast_threshold:
+        cand_ids = np.array(sorted(ids_ds.unique("cid")))
+        ids_ref = _ray.put(cand_ids)
 
-    cand_texts = ds.select_columns([id_col, text_col]).map_batches(
-        _semi_ids, batch_format="pyarrow"
-    ).materialize()
+        def _semi_ids(t: pa.Table, ref=ids_ref) -> pa.Table:
+            keys = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            v = np.asarray(t[id_col].to_pandas())
+            idx = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
+            return t.filter(pa.array(keys[idx] == v))
+
+        cand_texts = ds.select_columns([id_col, text_col]).map_batches(
+            _semi_ids, batch_format="pyarrow"
+        )
+    else:
+        # distributed semi-join: the distinct candidate ids STAY a Dataset
+        nparts_ids = max(2, ncpu // 2)
+        cand_texts = ds.select_columns([id_col, text_col]).join(
+            ids_ds, join_type="inner", num_partitions=nparts_ids,
+            on=(id_col,), right_on=("cid",),
+        ).map_batches(
+            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+        )
+    cand_texts = cand_texts.materialize()
     cand_bytes = cand_texts.size_bytes() or 0
 
     use_broadcast = (
-        len(cand_ids) <= broadcast_threshold and cand_bytes <= broadcast_bytes_budget
+        n_cand <= broadcast_threshold and cand_bytes <= broadcast_bytes_budget
     )
     LAST_VERIFY_PLAN.clear()
     LAST_VERIFY_PLAN.update(
         plan="broadcast" if use_broadcast else "joined",
-        candidates=int(len(cand_ids)),
+        candidates=int(n_cand),
         candidate_bytes=int(cand_bytes),
     )
     if use_broadcast:
@@ -605,7 +623,6 @@ def near_dup_pairs(
         # join aggregators are actors: more partitions than CPUs deadlocks a
         # small cluster (each aggregator waits for a core), so size to ~half
         # the CPUs — at 256 nodes this still gives hundreds of partitions
-        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         nparts = max(2, ncpu // 2)
         ta = cand_texts.map_batches(
             lambda t: t.rename_columns(["id_a", "text_a"]), batch_format="pyarrow"

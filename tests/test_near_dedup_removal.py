@@ -66,6 +66,25 @@ def test_near_dup_pairs_joined_plan_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(broad, joined, check_like=True)
 
 
+def test_distributed_candidate_id_semi_join_matches_broadcast(ray_session):
+    """id_broadcast_threshold=0 forces the candidate-id Dataset semi-join
+    (no driver id array); results must equal the broadcast-id plan."""
+    corpus = _plant(_disjoint_corpus(), 6)
+    broad = minhash_near_dups(
+        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32
+    ).to_pandas()
+    ds_ids = (
+        near_dup_pairs(
+            ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32,
+            id_broadcast_threshold=0,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(broad, ds_ids, check_like=True)
+
+
 def test_candidate_count_matches_exact_and_state_is_sublinear(ray_session):
     """The distributed collision scan must (a) equal an exact in-process
     bucket-count ground truth and (b) carry only O(P) rollup rows — three
