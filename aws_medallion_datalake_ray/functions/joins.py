@@ -1,0 +1,190 @@
+"""Distributed temporal joins Ray Data lacks natively: as-of join and
+interval range join.
+
+The reference has only equi-joins (SURVEY §2.4 — Glue/Athena `JOIN ... ON
+key =`); these are the two non-equi shapes a training-data/event pipeline
+needs (attribution "latest prior event", event-to-window banding) and are
+named custom-operator targets in the build brief.
+
+Scale shapes
+------------
+``asof_join``: one hash shuffle.  Both sides are tagged and co-partitioned
+on ``hash(by) % P`` (P = O(cluster CPUs) — partition count is independent of
+key cardinality, so billions of users hash into a bounded number of groups),
+then each partition runs pandas ``merge_asof`` (vectorized C merge on the
+sorted ``on`` column, grouped by ``by``).  Nothing reaches the driver.
+
+``range_join_intervals``: zero shuffles for the join itself.  The interval
+side of a range join is small in every real pipeline (windows, campaigns,
+maintenance periods); it is broadcast once via ``ray.put`` and each batch is
+matched with one vectorized mask per interval — O(batch × n_intervals) with
+no per-row Python.  A large interval side would need an interval tree or a
+band-partitioned sort-merge; that variant is intentionally not implemented
+(documented limit: ``len(intervals)`` ≲ 10^4).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+
+
+def _ncpu() -> int:
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    by: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_r",
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed as-of join: for every left row, attach the nearest right
+    row (per ``direction``) with the same ``by`` key and ``on`` value at or
+    before (backward) / at or after (forward) the left row's ``on`` value.
+
+    Right columns other than ``by``/``on`` are suffixed with ``suffix`` when
+    the name collides with a left column; the right ``on`` column is always
+    carried as ``on + suffix``.  ``how="inner"`` drops left rows with no
+    match (the only mode with exact nullable-type round-tripping; "left"
+    keeps them with nulls).
+
+    Ties on the right ``on`` value resolve to the LAST row in ``(on, rest of
+    right columns)`` sort order within the partition — callers needing a
+    specific tie-break should pre-sort/dedup the right side (the query-suite
+    user guarantees tie-free ``(by, on)``).
+    """
+    by = list(by)
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+    rvals = [c for c in rcols if c not in by and c != on]
+    rmap = {c: (c + suffix if c in lcols else c) for c in rvals}
+    rmap[on] = on + suffix
+    P = num_partitions or max(8, 2 * _ncpu())
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    out_fields = [lschema.field(c) for c in lcols] + [
+        pa.field(rmap[c], rschema.field(c).type) for c in [*rvals, on]
+    ]
+    union_schema = pa.schema(
+        [*out_fields, pa.field("__side", pa.int8()), pa.field("__part", pa.int64())]
+    )
+
+    def _tag(side: int, colmap: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            part = (hash_batch_cols(t, tuple(by)) % np.uint64(P)).astype(np.int64)
+            arrays = []
+            for f in union_schema:
+                if f.name == "__side":
+                    arrays.append(pa.array(np.full(len(t), side, np.int8)))
+                elif f.name == "__part":
+                    arrays.append(pa.array(part))
+                elif f.name in colmap:
+                    arrays.append(t[colmap[f.name]].cast(f.type))
+                else:
+                    arrays.append(pa.nulls(len(t), f.type))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+
+        return fn
+
+    lmap = {c: c for c in lcols}
+    rrev = {v: k for k, v in rmap.items()}
+    rrev.update({c: c for c in by})
+    tagged = left.map_batches(_tag(0, lmap), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, rrev), batch_format="pyarrow")
+    )
+
+    lout = [c for c in lcols]
+    rout = [rmap[c] for c in [*rvals, on]]
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        l = l[lout].sort_values(on, kind="stable")
+        r = r[[*by, *rout]].rename(columns={on + suffix: on})
+        r = r.sort_values([on, *[c for c in rout if c != on + suffix]], kind="stable")
+        # merge_asof keeps only the LEFT on column — carry the right one too
+        r[on + suffix] = r[on]
+        if len(l) == 0:
+            return pd.DataFrame(columns=[*lout, *rout])
+        m = pd.merge_asof(
+            l, r, on=on, by=by, direction=direction, suffixes=("", suffix)
+        )
+        if how == "inner":
+            m = m.dropna(subset=[on + suffix])
+        return m[[*lout, *rout]]
+
+    out = tagged.groupby("__part").map_groups(_merge, batch_format="pandas")
+    if how == "inner":
+        # restore exact right-side types (pandas nullable round-trip)
+        cast_schema = pa.schema(out_fields)
+
+        def _cast(t: pa.Table) -> pa.Table:
+            return t.select(cast_schema.names).cast(cast_schema)
+
+        out = out.map_batches(_cast, batch_format="pyarrow")
+    return out
+
+
+def range_join_intervals(
+    ds: "ray.data.Dataset",
+    intervals: pa.Table,
+    on: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    id_col: str = "interval_id",
+    columns: Sequence[str] | None = None,
+) -> "ray.data.Dataset":
+    """Broadcast interval (band) join: emit one output row per (input row,
+    interval) with ``lo <= row[on] < hi``.  Intervals MAY overlap — each row
+    can match several — which is exactly what a single bucketing pass cannot
+    express.
+
+    ``intervals`` is a small driver-side Arrow table broadcast once with
+    ``ray.put``; each batch is matched with one vectorized comparison per
+    interval.  Output = selected ``columns`` (default all) + ``id_col``.
+    """
+    cols = list(columns) if columns is not None else None
+    iv_ref = ray.put(
+        {
+            "id": np.asarray(intervals[id_col]),
+            "lo": np.asarray(intervals[lo].cast(pa.int64())),
+            "hi": np.asarray(intervals[hi].cast(pa.int64())),
+        }
+    )
+
+    def _match(t: pa.Table, ref=iv_ref) -> pa.Table:
+        iv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        v = np.asarray(t[on].cast(pa.int64()))
+        take_idx: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        for k in range(len(iv["id"])):
+            m = np.flatnonzero((v >= iv["lo"][k]) & (v < iv["hi"][k]))
+            if len(m):
+                take_idx.append(m)
+                ids.append(np.full(len(m), iv["id"][k]))
+        sel = t.select(cols) if cols is not None else t
+        if not take_idx:
+            return sel.slice(0, 0).append_column(
+                id_col, pa.array([], type=pa.int64())
+            )
+        idx = np.concatenate(take_idx)
+        out = sel.take(pa.array(idx))
+        return out.append_column(
+            id_col, pa.array(np.concatenate(ids).astype(np.int64))
+        )
+
+    return ds.map_batches(_match, batch_format="pyarrow")

@@ -939,6 +939,98 @@ def q31_gold_monthly_rollup(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q32_asof_attribution(sf_dir: str) -> pd.DataFrame:
+    """Distributed AS-OF join (`functions/joins.asof_join` — a non-equi shape
+    the reference's Glue/Athena SQL layer lacks): attribute every purchase
+    event to the latest click by the same user at or before it.  Both sides
+    are co-partitioned on hash(user) % P (one shuffle); each partition runs a
+    vectorized ``merge_asof``.  (user_id, ts) is tie-free in the fixture, so
+    the match is unique and hash-stable."""
+    from aws_medallion_datalake_ray.functions.joins import asof_join
+
+    def side(kind: str) -> ray.data.Dataset:
+        return _read(
+            sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"],
+            filter=(pc.field("event_type") == kind),
+        ).map_batches(
+            lambda t: t.drop_columns(["event_type"]), batch_format="pyarrow"
+        )
+
+    out = asof_join(
+        side("purchase"), side("click"), on="ts", by=["user_id"],
+        direction="backward", how="inner",
+    ).to_pandas()
+    out["lag_us"] = (
+        (out["ts"].to_numpy() - out["ts_r"].to_numpy())
+        .astype("timedelta64[us]").astype(np.int64)
+    )
+    out = out.rename(columns={"event_id": "purchase_id", "event_id_r": "click_id"})
+    return out[["purchase_id", "user_id", "click_id", "lag_us"]].sort_values(
+        "purchase_id"
+    ).reset_index(drop=True)
+
+
+def q33_interval_range_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast interval RANGE join (`functions/joins.range_join_intervals`):
+    events banded into OVERLAPPING 3-day windows sliding every 36 h (overlap
+    factor 2 — a plain bucketing cannot express this).  The interval table is
+    broadcast once; matching is one vectorized mask per interval; the rollup
+    is partial-aggregated per batch before the tiny keyed shuffle."""
+    import datetime as _dt
+
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+    from aws_medallion_datalake_ray.functions.joins import range_join_intervals
+
+    anchor = _dt.datetime(2024, 1, 1)
+    n_iv = 20
+    lo = [anchor + _dt.timedelta(hours=36 * i) for i in range(n_iv)]
+    intervals = pa.table(
+        {
+            "interval_id": pa.array(range(n_iv), pa.int64()),
+            "lo": pa.array(lo, pa.timestamp("us")),
+            "hi": pa.array([x + _dt.timedelta(days=3) for x in lo], pa.timestamp("us")),
+        }
+    )
+    joined = range_join_intervals(
+        _read(sf_dir, "events", columns=["ts", "user_id", "value"]),
+        intervals, on="ts",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(t["value"]) * 100).astype(np.int64)
+        return (
+            pa.table({"interval_id": t["interval_id"], "p_n": pa.array(np.ones(len(t), np.int64)), "p_c": pa.array(cents)})
+            .group_by("interval_id")
+            .aggregate([("p_n", "sum"), ("p_c", "sum")])
+            .rename_columns(["interval_id", "p_n", "p_c"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("interval_id")
+        .aggregate(Sum("p_n", alias_name="n_events"), Sum("p_c", alias_name="c"))
+        .to_pandas()
+    )
+    users = (
+        exact_dedup(
+            joined.map_batches(
+                lambda t: t.select(["interval_id", "user_id"]), batch_format="pyarrow"
+            ),
+            ("interval_id", "user_id"),
+        )
+        .groupby("interval_id")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = agg.merge(users, on="interval_id")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["sum_value"] = (out["c"] / 100.0).round(2)
+    return out[["interval_id", "n_events", "n_users", "sum_value"]].sort_values(
+        "interval_id"
+    ).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -1200,6 +1292,32 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2, 3
         ORDER BY ano, mes
     """,
+    "q32_asof_attribution": """
+        -- DuckDB ASOF JOIN = latest c.ts <= p.ts per user; (user_id, ts) is
+        -- tie-free in the fixture so the matched row is unique
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+    """,
+    "q33_interval_range_join": """
+        WITH iv AS (
+            SELECT i AS interval_id,
+                   TIMESTAMP '2024-01-01' + i * INTERVAL 36 HOUR AS lo,
+                   TIMESTAMP '2024-01-01' + i * INTERVAL 36 HOUR
+                     + INTERVAL 3 DAY AS hi
+            FROM range(0, 20) t(i))
+        SELECT iv.interval_id,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               round(sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS sum_value
+        FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+        GROUP BY 1 ORDER BY 1
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -1269,4 +1387,6 @@ SQL_QUERIES = {
     "q29_gold_resumo_top": q29_gold_resumo_top,
     "q30_embedding_near_dup": q30_embedding_near_dup,
     "q31_gold_monthly_rollup": q31_gold_monthly_rollup,
+    "q32_asof_attribution": q32_asof_attribution,
+    "q33_interval_range_join": q33_interval_range_join,
 }
