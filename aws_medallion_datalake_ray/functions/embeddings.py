@@ -7,6 +7,13 @@
 - :class:`LshBucketer` / :func:`ann_lsh` — the scale path: random-hyperplane
   LSH buckets; a query probes only its bucket(s), turning O(N) scans into
   O(N / 2^planes) per probe.
+- :func:`build_ivf_centroids` / :func:`assign_ivf` / :func:`ann_ivf` — the
+  IVF scale path: spherical k-means centroids trained on a BOUNDED sample
+  (driver state = sample_size × dim, independent of corpus size), streaming
+  cluster assignment (broadcast centroids, per-batch matmul argmax), and
+  nprobe-cluster query scans.  At 100 TB the assigned dataset is written as
+  a LakeTable clustered on ``ivf_cluster`` so the probe filter prunes files
+  via manifest stats instead of streaming the full corpus.
 """
 
 from __future__ import annotations
@@ -173,6 +180,78 @@ def embedding_near_dups(
     return out.drop_duplicates(["id_a", "id_b"]).sort_values(
         ["id_a", "id_b"]
     ).reset_index(drop=True)
+
+
+def build_ivf_centroids(
+    ds: Dataset, n_centroids: int = 16, sample_size: int = 20_000,
+    iters: int = 15, seed: int = 11, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train spherical k-means centroids on a bounded sample of the corpus.
+
+    The sample (``limit(sample_size)`` — deterministic for a fixed input) is
+    the ONLY driver-side state; Lloyd iterations on (sample × dim) are pure
+    numpy.  Empty clusters re-seed to the worst-assigned point.  Returns a
+    unit-normalized (n_centroids, dim) matrix.
+    """
+    sample = _normalize(
+        _as_matrix(ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col])
+    )
+    n = len(sample)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, k, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T  # (n, k)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, sample)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(best)[: int(empty.sum())]
+            new[empty] = sample[worst]
+            counts[empty] = 1
+        cent = _normalize(new / counts[:, None])
+    return cent
+
+
+def assign_ivf(
+    ds: Dataset, centroids: np.ndarray, vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> Dataset:
+    """Streaming cluster assignment: centroids broadcast once (``ray.put``),
+    one matmul + argmax per batch."""
+    ref = ray.put(np.ascontiguousarray(centroids))
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = _normalize(_as_matrix(t[vec_col]))
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return t.append_column(out_col, pa.array(cl))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ann_ivf(
+    ds: Dataset, query: np.ndarray, centroids: np.ndarray, nprobe: int = 4,
+    k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate top-k: exact cosine over only the ``nprobe`` clusters
+    whose centroids are nearest the query — scan cost N * nprobe/n_centroids.
+    The partitioning assumption: near-neighbors share the query's nearest
+    coarse centroids (standard IVF recall/probe tradeoff)."""
+    import pyarrow.compute as pc
+
+    q = _normalize(np.atleast_2d(np.asarray(query, np.float64)))
+    probe = np.argsort(-(q @ centroids.T)[0], kind="stable")[:nprobe]
+    filtered = assign_ivf(ds, centroids, vec_col).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["ivf_cluster"], value_set=pa.array(probe.astype(np.int64)))
+        ),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(filtered, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ann_lsh(

