@@ -181,18 +181,172 @@ class TextAnalyzer:
                 fold ^= np.minimum.reduceat(roll * p, offsets)
         return pd.Series([f"{x:016x}" for x in fold], index=texts.index, dtype=object)
 
+    # ---------------------------------------------------------- fused pass
+
+    def __init_re2(self):
+        """RE2 (pyarrow.compute) translations of the Python-re patterns.
+
+        RE2 has no lookarounds, so the stopword boundary is ``\\b`` — an
+        ASCII word boundary, which differs from the unicode lookaround form
+        only when a stopword directly abuts an accented letter ("süßfür");
+        and the punct class excludes Latin-1/Extended-A letters explicitly
+        (RE2's ``\\w`` is ASCII).  Identical on natural text (asserted in
+        tests); these are the PRODUCTION patterns — the Python-re methods
+        above are the legacy/reference implementations."""
+        if not hasattr(self, "_re2"):
+            self._re2 = {
+                "word": r"[a-zà-ÿäöüß]+",
+                "ws": r"\S+",
+                "punct": r"[^\w\sÀ-ɏ]",
+                "cjk": r"[一-鿿぀-ヿ]",
+                **{
+                    f"stop_{lang}": r"\b(?:" + "|".join(sorted(sw)) + r")\b"
+                    for lang, sw in self.stop.items()
+                },
+            }
+
+    def analyze_arrow(self, arr: "pa.Array | pa.ChunkedArray") -> "pa.Table":
+        """Single fused Arrow-native pass: language ID + quality features +
+        fingerprint over an Arrow string column, no pandas object strings in
+        the hot path.  Every regex runs ONCE via RE2 (``count_substring_regex``,
+        ~8× the Python-re engine on alternations) and the predicted language's
+        stopword ratio is reused from the language scores instead of being
+        re-counted (``quality`` alone recomputes it).  Returns a table with
+        columns n_chars, n_tokens, punct_ratio, stopword_ratio, quality_score,
+        lang_pred, fingerprint."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        self.__init_re2()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        low = pc.utf8_lower(arr)
+
+        def cnt(a, pat):
+            return np.asarray(
+                pc.count_substring_regex(a, self._re2[pat]), dtype=np.float64
+            )
+
+        n_chars = np.asarray(pc.utf8_length(arr), dtype=np.float64)
+        n_words = np.maximum(cnt(low, "word"), 1.0)
+        lang_names = sorted(self.stop)
+        scores = np.stack([cnt(low, f"stop_{lang}") / n_words for lang in lang_names])
+        best_idx = scores[::-1].argmax(axis=0)  # ties -> later name
+        best_idx = len(lang_names) - 1 - best_idx
+        best = np.array(lang_names, dtype=object)[best_idx]
+        best_score = scores[best_idx, np.arange(scores.shape[1])]
+        cjk_ratio = cnt(arr, "cjk") / np.maximum(n_chars, 1.0)
+        langs = np.where(cjk_ratio > 0.05, "zh", np.where(best_score > 0, best, "und"))
+        # predicted-language stopword ratio IS the winning lang score;
+        # zh/und substitute CJK density (same formula as quality())
+        stop_ratio = np.where(np.isin(langs, lang_names), best_score, cjk_ratio)
+        n_tokens = cnt(arr, "ws")
+        punct_ratio = cnt(arr, "punct") / np.maximum(1, n_chars)
+        mean_word_len = n_chars / np.maximum(1, n_tokens)
+        score = (
+            np.clip(n_tokens / 64.0, 0, 1) * 0.3
+            + np.clip(1.0 - punct_ratio * 4.0, 0, 1) * 0.3
+            + np.clip(stop_ratio * 3.0, 0, 1) * 0.2
+            + np.clip(1.0 - np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.2
+        )
+        return pa.table(
+            {
+                "n_chars": pa.array(n_chars.astype(np.int64)),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "punct_ratio": pa.array(punct_ratio),
+                "stopword_ratio": pa.array(stop_ratio),
+                "quality_score": pa.array(score),
+                "lang_pred": pa.array(langs.astype(str)),
+                "fingerprint": pa.array(self.fingerprint_arrow(arr)),
+            }
+        )
+
+    def fingerprint_arrow(self, arr: "pa.Array") -> np.ndarray:
+        """Arrow-split variant of :meth:`fingerprint` — identical output
+        (asserted in tests), but tokenization is ``utf8_split_whitespace``
+        (C-speed) and short docs are padded to ``window`` with a vectorized
+        scatter instead of per-doc Python list building."""
+        import pyarrow.compute as pc
+
+        from aws_medallion_datalake_ray.functions.hashing import hash_col
+
+        window = 8
+        B = np.uint64(1000003)
+        perms = np.array(
+            [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+            dtype=np.uint64,
+        )
+        n_docs = len(arr)
+        if n_docs == 0:
+            return np.array([], dtype=object)
+        # trim first so edge whitespace can't produce empty edge tokens;
+        # "" then splits to [""] — same content as Python split()'s [] after
+        # both are padded to `window` empties
+        split = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr))
+        L = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten()
+        # drop the lone "" token of blank docs to mirror str.split()
+        blank = (L == 1) & np.asarray(
+            pc.equal(pc.list_element(split, 0), ""), dtype=bool
+        )
+        counts = np.maximum(np.where(blank, 0, L), window)
+        th_real = hash_col(flat)
+        empty_hash = hash_col(np.array([""], dtype=object))[0]
+        total = int(counts.sum())
+        th = np.full(total, empty_hash, dtype=np.uint64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        keep_L = np.where(blank, 0, L)
+        real_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+        intra = np.arange(int(keep_L.sum())) - np.repeat(
+            np.cumsum(keep_L) - keep_L, keep_L
+        )
+        src = np.repeat(real_starts, keep_L) + intra
+        dst = np.repeat(starts, keep_L) + intra
+        th[dst] = th_real[src]
+        n = len(th)
+        with np.errstate(over="ignore"):
+            roll = th[: n - window + 1].copy()
+            for j in range(1, window):
+                roll = roll * B + th[j : n - window + 1 + j]
+        n_win = counts - window + 1
+        widx = np.arange(int(n_win.sum())) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        widx = widx + np.repeat(starts, n_win)
+        roll = roll[widx]
+        offsets = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        with np.errstate(over="ignore"):
+            fold = np.zeros(len(offsets), dtype=np.uint64)
+            for p in perms:
+                fold ^= np.minimum.reduceat(roll * p, offsets)
+        return np.array([f"{x:016x}" for x in fold], dtype=object)
+
+    def analyze(self, texts: pd.Series) -> pd.DataFrame:
+        """pandas wrapper over :meth:`analyze_arrow` (one conversion in, one
+        out); see its docstring for the RE2 boundary caveat vs the legacy
+        ``lang_scores``/``quality`` Python-re methods."""
+        import pyarrow as pa
+
+        out = self.analyze_arrow(pa.array(texts.fillna(""), type=pa.large_string()))
+        df = out.to_pandas()
+        df.index = texts.index
+        return df
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch[self.text_col]
-        langs = self.lang_scores(t)
-        q = self.quality(t, langs=langs)
+        q = self.analyze(batch[self.text_col])
         for c in q.columns:
             batch[c] = q[c]
-        batch["lang_pred"] = langs
-        batch["fingerprint"] = self.fingerprint(t)
         return batch
 
 
 _ANALYZER_CACHE: dict = {}
+
+
+def _cached_analyzer(text_col: str) -> TextAnalyzer:
+    a = _ANALYZER_CACHE.get(text_col)
+    if a is None:
+        a = TextAnalyzer(text_col=text_col)
+        _ANALYZER_CACHE[text_col] = a
+    return a
 
 
 def analyze_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
@@ -200,8 +354,15 @@ def analyze_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     regex/stopword tables) is cached PER WORKER PROCESS, so plain
     ``map_batches(analyze_batch)`` gets init-once semantics while using every
     CPU (an actor pool idles the non-pool cores)."""
-    a = _ANALYZER_CACHE.get(text_col)
-    if a is None:
-        a = TextAnalyzer(text_col=text_col)
-        _ANALYZER_CACHE[text_col] = a
-    return a(batch)
+    return _cached_analyzer(text_col)(batch)
+
+
+def analyze_batch_arrow(batch, text_col: str = "text"):
+    """Arrow-native stateless-task stage (``batch_format="pyarrow"``): the
+    text column never materializes Python string objects — RE2 counting and
+    Arrow whitespace splitting end-to-end.  The production path for the
+    maintenance quality scan."""
+    out = _cached_analyzer(text_col).analyze_arrow(batch[text_col])
+    for name in out.column_names:
+        batch = batch.append_column(name, out[name])
+    return batch

@@ -136,29 +136,30 @@ def run_bench() -> dict:
 
     def quality_scan():
         # text-analysis maintenance pass: lang-ID + quality features as
-        # STATELESS tasks with a per-worker-process analyzer cache (regex
-        # tables still compile once per process, but every CPU participates —
-        # an actor pool idles the non-pool cores); tiny rollup out
-        from ray.data.aggregate import Count, Sum
+        # STATELESS tasks with a per-worker-process analyzer cache (RE2
+        # tables still build once per process, but every CPU participates —
+        # an actor pool idles the non-pool cores).  Arrow-native end-to-end:
+        # the content column never materializes Python strings; tiny rollup
+        from ray.data.aggregate import Sum
 
-        from aws_medallion_datalake_ray.functions.text import analyze_batch
+        from aws_medallion_datalake_ray.functions.text import analyze_batch_arrow
 
         scored = table.scan(columns=["lang", "content"]).map_batches(
-            analyze_batch,
+            analyze_batch_arrow,
             fn_kwargs={"text_col": "content"},
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
 
-        def partial(df):
-            import pandas as pd
-
-            g = df.groupby("lang_pred", as_index=False).agg(
-                n=("quality_score", "size"), q=("quality_score", "sum")
+        def partial(t):
+            return (
+                t.select(["lang_pred", "quality_score"])
+                .group_by("lang_pred")
+                .aggregate([("quality_score", "count"), ("quality_score", "sum")])
+                .rename_columns(["lang_pred", "n", "q"])
             )
-            return g
 
         out = (
-            scored.map_batches(partial, batch_format="pandas")
+            scored.map_batches(partial, batch_format="pyarrow")
             .groupby("lang_pred")
             .aggregate(Sum("n", alias_name="n"), Sum("q", alias_name="q"))
             .to_pandas()

@@ -144,6 +144,64 @@ def test_ann_ivf_recall_and_bounded_probe(ray_session):
     assert len(sizes) == 8
 
 
+def test_analyze_arrow_matches_legacy_python_re():
+    """The fused RE2/Arrow pass must reproduce lang_scores + quality +
+    fingerprint exactly on natural multilingual text (the RE2 \\b caveat only
+    bites on stopwords abutting accented letters)."""
+    import pyarrow as pa
+
+    an = TextAnalyzer(text_col="text")
+    texts = pd.Series(
+        [
+            "the cat is in the house and it is warm for the winter " * 3,
+            "die katze ist in dem haus und es ist warm für den winter",
+            "le chat est dans la maison et il est chaud pour un hiver",
+            "el gato es en la casa y es un calor para el invierno",
+            "def f(x):\n    return x + 1  # code-ish, punctuation heavy!!!",
+            "",
+            "   ",
+            "short doc",
+            None,
+        ]
+    )
+    langs_old = an.lang_scores(texts.fillna(""))
+    q_old = an.quality(texts.fillna(""), langs=langs_old)
+    fp_old = an.fingerprint(texts.fillna(""))
+    fused = an.analyze(texts)
+    assert (fused["lang_pred"].to_numpy() == langs_old.to_numpy()).all()
+    for c in q_old.columns:
+        assert np.array_equal(fused[c].to_numpy(), q_old[c].to_numpy()), c
+    assert (fused["fingerprint"].to_numpy() == fp_old.to_numpy()).all()
+    # arrow batch entry point produces the same columns
+    from aws_medallion_datalake_ray.functions.text import analyze_batch_arrow
+
+    t = pa.table({"text": pa.array(texts.fillna(""), pa.large_string())})
+    out = analyze_batch_arrow(t, "text")
+    assert out["quality_score"].to_pylist() == fused["quality_score"].tolist()
+
+
+def test_fingerprint_arrow_tricky_cases():
+    """Short docs (padding), blank docs, edge whitespace, unicode — the
+    Arrow split path must agree with Python str.split() byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    an = TextAnalyzer()
+    tricky = pd.Series(
+        [
+            "", "   ", "one", "a b c",
+            "one two three four five six seven",
+            "a b c d e f g h", "a b c d e f g h i j k",
+            "  leading and trailing   ws  ",
+            "tab\tand\nnewline mixed   spaces x y z q w",
+            "ünïcödé tökens ärê fine herë ok yes sure thing",
+        ]
+    )
+    old = an.fingerprint(tricky)
+    new = an.fingerprint_arrow(pc.fill_null(pa.array(tricky, pa.large_string()), ""))
+    assert list(old) == list(new)
+
+
 def test_quality_per_language_stopwords():
     """de/fr/es natural text must score comparably to its English translation
     (the stopword ratio follows the predicted language, not hardcoded en)."""
