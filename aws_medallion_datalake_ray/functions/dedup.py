@@ -277,7 +277,32 @@ class BandEmitter(MinHasher):
 
     def buckets_of(self, texts) -> np.ndarray:
         """(n_docs, bands) uint64 bucket ids (vectorized fold per band)."""
-        sigs = self.signatures(texts)  # (n, num_perm)
+        return self._fold_buckets(self.signatures(texts))
+
+    def signatures_arrow(self, arr) -> np.ndarray:
+        """Arrow-native :meth:`signatures` — identical output (asserted in
+        tests): C-speed whitespace split, token hashes over the
+        dictionary-DISTINCT tokens only (Zipf corpora: 5-20× fewer SipHash
+        calls), vectorized pad/scatter for short docs.  The permutation loop
+        (the dominant cost) is shared with the pandas path."""
+        from aws_medallion_datalake_ray.functions.hashing import (
+            flat_token_hashes, rolling_token_windows)
+
+        if len(arr) == 0:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        th, counts = flat_token_hashes(arr, self.k)
+        sh, offsets = rolling_token_windows(
+            th, counts, self.k, np.uint64(1099511628211)
+        )
+        with np.errstate(over="ignore"):
+            sigs = np.empty((self.num_perm, len(offsets)), dtype=np.uint64)
+            for i in range(self.num_perm):
+                vals = sh * self.a[i] + self.b[i]
+                sigs[i] = np.minimum.reduceat(vals, offsets)
+        return sigs.T.copy()
+
+    def _fold_buckets(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, num_perm) signatures -> (n, bands) packed uint64 bucket ids."""
         n = sigs.shape[0]
         out = np.empty((n, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -293,6 +318,17 @@ class BandEmitter(MinHasher):
         b = self.buckets_of(batch[self.text_col])
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         return pd.DataFrame({self.id_col: ids, "bucket": b.reshape(-1).astype(np.int64)})
+
+    def emit_arrow(self, t: pa.Table) -> pa.Table:
+        """Arrow batch -> (id, bucket) rows without materializing Python
+        strings: ids replicate via ``Table.take`` (C-speed, works for string
+        ids too)."""
+        b = self._fold_buckets(self.signatures_arrow(t[self.text_col]))
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), self.bands)
+        out = t.select([self.id_col]).take(pa.array(idx))
+        return out.append_column(
+            "bucket", pa.array(b.reshape(-1).astype(np.int64))
+        )
 
 
 _EMITTER_CACHE: dict = {}
@@ -310,6 +346,19 @@ def band_emit_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
         e = BandEmitter(**kw)
         _EMITTER_CACHE[k] = e
     return e(df)
+
+
+def band_emit_batch_arrow(t: pa.Table, **kw) -> pa.Table:
+    """Arrow-native stateless banding task (``batch_format="pyarrow"``): the
+    text column never materializes Python strings (the production path for
+    the near-dup scan and pair pipeline); same per-worker emitter cache as
+    :func:`band_emit_batch`."""
+    k = tuple(sorted(kw.items()))
+    e = _EMITTER_CACHE.get(k)
+    if e is None:
+        e = BandEmitter(**kw)
+        _EMITTER_CACHE[k] = e
+    return e.emit_arrow(t)
 
 
 def near_dup_candidate_count(
@@ -340,12 +389,12 @@ def near_dup_candidate_count(
     P = num_partitions or max(32, 2 * ncpu)
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
-        band_emit_batch,
+        band_emit_batch_arrow,
         fn_kwargs={
             "id_col": id_col, "text_col": text_col, "bands": bands,
             "num_perm": num_perm, "shingle_k": shingle_k,
         },
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -537,12 +586,12 @@ def near_dup_pairs(
     import ray.data as _rd
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
-        band_emit_batch,
+        band_emit_batch_arrow,
         fn_kwargs={
             "id_col": id_col, "text_col": text_col, "bands": bands,
             "num_perm": num_perm, "shingle_k": shingle_k,
         },
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     pairs = (
         banded.groupby("bucket")

@@ -75,6 +75,63 @@ def salted_partition(
     return (k % np.uint64(num_partitions)).astype(np.int64)
 
 
+def flat_token_hashes(arr, min_tokens: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize an Arrow string array and hash every token,
+    Arrow-native: ``utf8_trim_whitespace`` + ``utf8_split_whitespace``
+    (C-speed, matches Python ``str.split()`` token-for-token), then
+    ``dictionary_encode`` the flat tokens so the SipHash runs only over the
+    DISTINCT tokens (Zipf corpora: 5-20× fewer hashes) and is gathered back
+    by index.  Documents shorter than ``min_tokens`` are padded with the
+    empty-string hash via one vectorized scatter.
+
+    Returns ``(flat_hashes, counts)``: a contiguous uint64 array of per-doc
+    token hashes (padded) and the per-doc (padded) token counts — the inputs
+    every rolling-window kernel (minhash shingles, fingerprints) needs.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    split = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr))
+    L = np.asarray(pc.list_value_length(split), dtype=np.int64)
+    flat = split.flatten()
+    if len(flat):
+        dic = flat.dictionary_encode()
+        dh = hash_col(dic.dictionary)
+        th_real = dh[np.asarray(dic.indices)]
+    else:
+        th_real = np.array([], dtype=np.uint64)
+    counts = np.maximum(L, min_tokens)
+    if len(th_real) == int(counts.sum()):  # nothing to pad
+        return th_real, counts
+    empty_hash = hash_col(np.array([""], dtype=object))[0]
+    th = np.full(int(counts.sum()), empty_hash, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    real_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+    intra = np.arange(int(L.sum())) - np.repeat(np.cumsum(L) - L, L)
+    th[np.repeat(starts, L) + intra] = th_real[np.repeat(real_starts, L) + intra]
+    return th, counts
+
+
+def rolling_token_windows(
+    th: np.ndarray, counts: np.ndarray, k: int, base: np.uint64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-polynomial hash of every k-token window that lies fully inside
+    one document (``counts`` are per-doc token counts, all >= k).  Returns
+    ``(window_hashes, doc_offsets)`` ready for ``ufunc.reduceat`` per doc."""
+    n = len(th)
+    with np.errstate(over="ignore"):
+        sh = th[: n - k + 1].copy()
+        for j in range(1, k):
+            sh = sh * base + th[j : n - k + 1 + j]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_win = counts - k + 1
+    widx = np.arange(int(n_win.sum())) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+    widx = widx + np.repeat(starts, n_win)
+    return sh[widx], np.concatenate([[0], np.cumsum(n_win)[:-1]])
+
+
 def sha256_col(col) -> np.ndarray:
     """Per-row sha256 hexdigest of a string column (the verification invariant).
 

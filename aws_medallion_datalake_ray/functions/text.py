@@ -264,56 +264,24 @@ class TextAnalyzer:
 
     def fingerprint_arrow(self, arr: "pa.Array") -> np.ndarray:
         """Arrow-split variant of :meth:`fingerprint` — identical output
-        (asserted in tests), but tokenization is ``utf8_split_whitespace``
-        (C-speed) and short docs are padded to ``window`` with a vectorized
-        scatter instead of per-doc Python list building."""
-        import pyarrow.compute as pc
-
-        from aws_medallion_datalake_ray.functions.hashing import hash_col
+        (asserted in tests): tokenization is ``utf8_split_whitespace``
+        (C-speed), the token hash runs only over dictionary-distinct tokens,
+        and short docs are padded with a vectorized scatter instead of
+        per-doc Python list building.  (A blank doc splits to [""] where
+        ``str.split()`` gives []; both pad to ``window`` empty-string tokens
+        — the same hashes — so the outputs agree.)"""
+        from aws_medallion_datalake_ray.functions.hashing import (
+            flat_token_hashes, rolling_token_windows)
 
         window = 8
-        B = np.uint64(1000003)
         perms = np.array(
             [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0xD6E8FEB86659FD93],
             dtype=np.uint64,
         )
-        n_docs = len(arr)
-        if n_docs == 0:
+        if len(arr) == 0:
             return np.array([], dtype=object)
-        # trim first so edge whitespace can't produce empty edge tokens;
-        # "" then splits to [""] — same content as Python split()'s [] after
-        # both are padded to `window` empties
-        split = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr))
-        L = np.asarray(pc.list_value_length(split), dtype=np.int64)
-        flat = split.flatten()
-        # drop the lone "" token of blank docs to mirror str.split()
-        blank = (L == 1) & np.asarray(
-            pc.equal(pc.list_element(split, 0), ""), dtype=bool
-        )
-        counts = np.maximum(np.where(blank, 0, L), window)
-        th_real = hash_col(flat)
-        empty_hash = hash_col(np.array([""], dtype=object))[0]
-        total = int(counts.sum())
-        th = np.full(total, empty_hash, dtype=np.uint64)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        keep_L = np.where(blank, 0, L)
-        real_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
-        intra = np.arange(int(keep_L.sum())) - np.repeat(
-            np.cumsum(keep_L) - keep_L, keep_L
-        )
-        src = np.repeat(real_starts, keep_L) + intra
-        dst = np.repeat(starts, keep_L) + intra
-        th[dst] = th_real[src]
-        n = len(th)
-        with np.errstate(over="ignore"):
-            roll = th[: n - window + 1].copy()
-            for j in range(1, window):
-                roll = roll * B + th[j : n - window + 1 + j]
-        n_win = counts - window + 1
-        widx = np.arange(int(n_win.sum())) - np.repeat(np.cumsum(n_win) - n_win, n_win)
-        widx = widx + np.repeat(starts, n_win)
-        roll = roll[widx]
-        offsets = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        th, counts = flat_token_hashes(arr, window)
+        roll, offsets = rolling_token_windows(th, counts, window, np.uint64(1000003))
         with np.errstate(over="ignore"):
             fold = np.zeros(len(offsets), dtype=np.uint64)
             for p in perms:
