@@ -363,7 +363,7 @@ def band_emit_batch_arrow(t: pa.Table, **kw) -> pa.Table:
 
 def near_dup_candidate_count(
     ds, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16,
-    shingle_k: int = 5, concurrency=(2, 16), num_partitions: int | None = None,
+    shingle_k: int = 5, num_partitions: int | None = None,
 ) -> dict:
     """Distributed near-dup *scan*: count LSH bucket collisions over the whole
     corpus without materializing pairs — the maintenance-cycle stage shape for

@@ -188,13 +188,26 @@ def build_ivf_centroids(
 ) -> np.ndarray:
     """Train spherical k-means centroids on a bounded sample of the corpus.
 
-    The sample (``limit(sample_size)`` — deterministic for a fixed input) is
+    The sample is a deterministic STRIDE over the whole dataset (every
+    ``ceil(n/sample_size)``-th row of every batch) — unlike a ``limit()``
+    prefix it covers a corpus stored in clustered/sorted order, and unlike
+    ``random_sample`` it is reproducible for a fixed input.  The sample is
     the ONLY driver-side state; Lloyd iterations on (sample × dim) are pure
     numpy.  Empty clusters re-seed to the worst-assigned point.  Returns a
     unit-normalized (n_centroids, dim) matrix.
     """
+    vecs = ds.select_columns([vec_col])
+    n = vecs.count()
+    stride = max(1, -(-n // max(1, sample_size)))  # ceil
+    if stride > 1:
+        vecs = vecs.map_batches(
+            lambda t, s=stride: t.take(
+                pa.array(np.arange(0, len(t), s, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
     sample = _normalize(
-        _as_matrix(ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col])
+        _as_matrix(vecs.limit(sample_size).to_pandas()[vec_col])
     )
     n = len(sample)
     rng = np.random.default_rng(seed)
@@ -236,18 +249,28 @@ def assign_ivf(
 def ann_ivf(
     ds: Dataset, query: np.ndarray, centroids: np.ndarray, nprobe: int = 4,
     k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    cluster_col: str | None = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k: exact cosine over only the ``nprobe`` clusters
-    whose centroids are nearest the query — scan cost N * nprobe/n_centroids.
-    The partitioning assumption: near-neighbors share the query's nearest
-    coarse centroids (standard IVF recall/probe tradeoff)."""
+    whose centroids are nearest the query.
+
+    The ``N * nprobe/n_centroids`` scan cost holds when assignments are
+    PRECOMPUTED — pass ``cluster_col`` naming an existing assignment column
+    (an ``assign_ivf`` output, materialized or written as a LakeTable
+    clustered on it so the probe filter prunes files).  Without it, this
+    call streams one assignment pass over the corpus first (compute cost N,
+    like the build side of any index).  The partitioning assumption:
+    near-neighbors share the query's nearest coarse centroids (standard IVF
+    recall/probe tradeoff)."""
     import pyarrow.compute as pc
 
     q = _normalize(np.atleast_2d(np.asarray(query, np.float64)))
     probe = np.argsort(-(q @ centroids.T)[0], kind="stable")[:nprobe]
-    filtered = assign_ivf(ds, centroids, vec_col).map_batches(
+    col = cluster_col or "ivf_cluster"
+    assigned = ds if cluster_col else assign_ivf(ds, centroids, vec_col)
+    filtered = assigned.map_batches(
         lambda t: t.filter(
-            pc.is_in(t["ivf_cluster"], value_set=pa.array(probe.astype(np.int64)))
+            pc.is_in(t[col], value_set=pa.array(probe.astype(np.int64)))
         ),
         batch_format="pyarrow",
     )

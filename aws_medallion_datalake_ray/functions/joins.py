@@ -70,8 +70,17 @@ def asof_join(
     lcols = [f.name for f in left.schema().base_schema]
     rcols = [f.name for f in right.schema().base_schema]
     rvals = [c for c in rcols if c not in by and c != on]
-    rmap = {c: (c + suffix if c in lcols else c) for c in rvals}
-    rmap[on] = on + suffix
+    # suffix right names until unique vs the left side AND each other (a left
+    # side that is itself an asof_join output already carries on+suffix)
+    used = set(lcols)
+    rmap: dict[str, str] = {}
+    for c in [*rvals, on]:
+        name = c + suffix if (c in lcols or c == on) else c
+        while name in used:
+            name += suffix
+        rmap[c] = name
+        used.add(name)
+    on_r = rmap[on]
     P = num_partitions or max(8, 2 * _ncpu())
 
     lschema = left.schema().base_schema
@@ -114,17 +123,17 @@ def asof_join(
         l = df[df["__side"] == 0]
         r = df[df["__side"] == 1]
         l = l[lout].sort_values(on, kind="stable")
-        r = r[[*by, *rout]].rename(columns={on + suffix: on})
-        r = r.sort_values([on, *[c for c in rout if c != on + suffix]], kind="stable")
+        r = r[[*by, *rout]].rename(columns={on_r: on})
+        r = r.sort_values([on, *[c for c in rout if c != on_r]], kind="stable")
         # merge_asof keeps only the LEFT on column — carry the right one too
-        r[on + suffix] = r[on]
+        r[on_r] = r[on]
         if len(l) == 0:
             return pd.DataFrame(columns=[*lout, *rout])
         m = pd.merge_asof(
             l, r, on=on, by=by, direction=direction, suffixes=("", suffix)
         )
         if how == "inner":
-            m = m.dropna(subset=[on + suffix])
+            m = m.dropna(subset=[on_r])
         return m[[*lout, *rout]]
 
     out = tagged.groupby("__part").map_groups(_merge, batch_format="pandas")

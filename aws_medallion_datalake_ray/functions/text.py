@@ -189,15 +189,17 @@ class TextAnalyzer:
         RE2 has no lookarounds, so the stopword boundary is ``\\b`` — an
         ASCII word boundary, which differs from the unicode lookaround form
         only when a stopword directly abuts an accented letter ("süßfür");
-        and the punct class excludes Latin-1/Extended-A letters explicitly
-        (RE2's ``\\w`` is ASCII).  Identical on natural text (asserted in
-        tests); these are the PRODUCTION patterns — the Python-re methods
-        above are the legacy/reference implementations."""
+        and the punct class is the unicode-property form ``[^\\p{L}\\p{N}_\\s]``
+        — exactly Python's ``[^\\w\\s]`` (letters and digits of EVERY script
+        are word chars; combining marks are not, in both engines).  Identical
+        on natural text across scripts (asserted in tests incl. CJK/Cyrillic);
+        these are the PRODUCTION patterns — the Python-re methods above are
+        the legacy/reference implementations."""
         if not hasattr(self, "_re2"):
             self._re2 = {
                 "word": r"[a-zà-ÿäöüß]+",
                 "ws": r"\S+",
-                "punct": r"[^\w\sÀ-ɏ]",
+                "punct": r"[^\p{L}\p{N}_\s]",
                 "cjk": r"[一-鿿぀-ヿ]",
                 **{
                     f"stop_{lang}": r"\b(?:" + "|".join(sorted(sw)) + r")\b"

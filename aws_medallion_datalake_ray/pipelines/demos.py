@@ -378,9 +378,12 @@ def demo_ann_ivf(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cent = build_ivf_centroids(ds, n_centroids=16, sample_size=20_000, seed=11)
     exact = cosine_topk(ds, np.asarray(q), k=10)
-    approx = ann_ivf(ds, np.asarray(q), cent, nprobe=4, k=10)
+    # assign ONCE (the index build); queries then filter the stored column
+    assigned = assign_ivf(ds, cent).materialize()
+    approx = ann_ivf(assigned, np.asarray(q), cent, nprobe=4, k=10,
+                     cluster_col="ivf_cluster")
     sizes = (
-        assign_ivf(ds, cent).groupby("ivf_cluster").count().to_pandas()
+        assigned.groupby("ivf_cluster").count().to_pandas()
         .set_index("ivf_cluster")["count()"]
     )
     qn = np.asarray(q, np.float64)

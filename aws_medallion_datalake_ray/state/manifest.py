@@ -154,15 +154,22 @@ class ManifestStore:
 
     # ------------------------------------------------------------ commit
 
-    def _acquire_lock(self) -> str:
+    def _acquire_lock(self) -> tuple[str, str]:
+        """Returns (lock_path, owner_token).  The token is written into the
+        lock file; ownership is RE-VERIFIED (:meth:`_owns_lock`) before the
+        HEAD swap and before release, because the stale-steal path below can
+        — in a narrow multi-writer race — remove a fresh lock it failed to
+        restore.  A holder whose lock was removed then sees a token mismatch
+        and raises :class:`CommitConflict` instead of double-committing."""
         lock = os.path.join(self.dir, "COMMIT.lock")
+        token = f"{os.getpid()}-{time.monotonic_ns()}-{uuid.uuid4().hex}"
         deadline = time.monotonic() + 30.0
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                return lock
+                return lock, token
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
@@ -194,6 +201,13 @@ class ManifestStore:
                     raise TimeoutError(f"commit lock held too long: {lock}")
                 time.sleep(0.05)
 
+    def _owns_lock(self, lock: str, token: str) -> bool:
+        try:
+            with open(lock) as f:
+                return f.read() == token
+        except FileNotFoundError:
+            return False
+
     def commit(
         self,
         added: Iterable[DataFile],
@@ -214,7 +228,7 @@ class ManifestStore:
         os.makedirs(self.dir, exist_ok=True)
         added = list(added)
         removed = set(removed_paths)
-        lock = self._acquire_lock()
+        lock, lock_token = self._acquire_lock()
         try:
             head = self.head()
             parent_id = head.snapshot_id if head else None
@@ -272,11 +286,18 @@ class ManifestStore:
                 schema_json=schema_json,
             )
             atomic_write_json(os.path.join(self.dir, f"snap-{new_id}.json"), snap.to_json())
+            # fencing check: if our lock was removed by a stale-steal race,
+            # another committer may be inside — abort before the swap (the
+            # orphaned snap/manifest files are GC'd as unreachable)
+            if not self._owns_lock(lock, lock_token):
+                raise CommitConflict("commit lock lost mid-commit; retry")
             # the atomic swap: readers resolve HEAD exactly once per scan
             atomic_write_json(os.path.join(self.dir, "HEAD"), {"snapshot_id": new_id})
             return snap
         finally:
-            os.unlink(lock)
+            # release only if still ours — never remove a successor's lock
+            if self._owns_lock(lock, lock_token):
+                os.unlink(lock)
 
     # ------------------------------------------------------------ expiry
 

@@ -816,8 +816,24 @@ class LakeTable:
         order == global key order; per-group sorts scale linearly with CPUs
         (the classic sample-sort, with the manifest-fed histogram replacing
         the sampling pass)."""
-        shift = np.uint64(48)
         keyed = keyed.materialize()
+
+        # histogram resolution must track the ACTUAL key width: z-keys use
+        # ~62 bits but hilbert / lead-major keys may use only 14-20, and a
+        # fixed high shift would fold every key into one cell (degenerate
+        # single partition).  One cheap vectorized max pass picks the shift
+        # so the top <= 16 significant bits are histogrammed.
+        def key_max(t: pa.Table) -> pa.Table:
+            k = np.asarray(t["__cluster_key"].to_pandas(), np.uint64)
+            mx = int(k.max()) if len(k) else 0
+            return pa.table({"mx": pa.array([mx], pa.uint64())})
+
+        mx = (
+            keyed.select_columns(["__cluster_key"])
+            .map_batches(key_max, batch_format="pyarrow")
+            .to_pandas()["mx"].max()
+        )
+        shift = np.uint64(max(0, int(mx).bit_length() - 16))
 
         def coarse_hist(t: pa.Table) -> pa.Table:
             k = np.asarray(t["__cluster_key"].to_pandas(), np.uint64) >> shift
@@ -1235,18 +1251,32 @@ class LakeTable:
         "broadcast", or "partitioned"."""
         key = tuple(key)
         if isinstance(removal_keys, ray.data.Dataset):
-            n_rm = removal_keys.count()
+            from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+            # cast to string + distinct FIRST: the broadcast threshold is
+            # documented in DISTINCT keys, but dedup_near feeds one row per
+            # verified pair (dense dup clusters multiply rows), and the
+            # fixed-width broadcast path needs string keys
+            sch = removal_keys.schema()
+            if sch is None:  # empty dataset (e.g. zero near-dup pairs)
+                return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
+            kcol = sch.base_schema.names[0]
+            rmd = removal_keys.map_batches(
+                lambda t, c=kcol: pa.table({"__rm_key": pc.cast(t[c], pa.string())}),
+                batch_format="pyarrow",
+            )
+            rmd = exact_dedup(rmd, ("__rm_key",)).materialize()
+            n_rm = rmd.count()
             if n_rm == 0:
                 return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
             if strategy == "partitioned" or (
                 strategy == "auto" and n_rm > broadcast_threshold
             ):
                 return self._delete_keys_partitioned(
-                    removal_keys, key=key, run_ts=run_ts, job_id=job_id,
-                    operation=operation,
+                    rmd, key=key, run_ts=run_ts, job_id=job_id,
+                    operation=operation, prepared=True,
                 )
-            kcol = removal_keys.schema().base_schema.names[0]
-            removal_keys = removal_keys.unique(kcol)
+            removal_keys = rmd.unique("__rm_key")
         raw = np.asarray(list(removal_keys), dtype=object)
         if len(raw) == 0:
             return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
@@ -1313,6 +1343,7 @@ class LakeTable:
         run_ts: str,
         job_id: str | None,
         operation: str,
+        prepared: bool = False,
     ) -> dict[str, Any]:
         """DELETE for huge removal key sets: distributed anti-join.
 
@@ -1332,7 +1363,9 @@ class LakeTable:
             ),
             batch_format="pyarrow",
         )
-        rmd = exact_dedup(rmd, ("__rm_key",)).materialize()
+        if not prepared:  # caller may have deduped already (delete_keys does)
+            rmd = exact_dedup(rmd, ("__rm_key",))
+        rmd = rmd.materialize()
         n_rm = rmd.count()
         if n_rm == 0:
             return {"removed_keys": 0, "affected_files": 0, "files_out": 0}

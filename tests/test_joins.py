@@ -139,6 +139,24 @@ def test_asof_many_keys_partitioned(ray_session):
     assert list(got["rid"]) == list(exp["rid"].astype(int))
 
 
+def test_asof_join_composes_with_own_output(ray_session):
+    """The output of an asof_join (which carries ts_r) must be joinable
+    again — colliding right-side names get extra suffixes instead of
+    building a duplicate-field schema."""
+    left, right = _sides()
+    first = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="ts", by=["k"], how="inner",
+    ).materialize()
+    second = asof_join(
+        first, ray.data.from_arrow(right), on="ts", by=["k"], how="inner"
+    ).to_pandas()
+    cols = set(second.columns)
+    assert "ts_r" in cols and "ts_r_r" in cols and "rval_r" in cols
+    # same match as the first join (right side unchanged)
+    assert sorted(second["rval"]) == sorted(second["rval_r"])
+
+
 def test_range_join_overlapping_intervals(ray_session):
     iv = pa.table(
         {

@@ -123,9 +123,6 @@ def test_verify_plan_byte_budget_forces_join(ray_session):
                        "text": pa.array(texts, pa.string())})
     corpus = _plant(corpus, 3)
 
-    joined = minhash_near_dups(
-        ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32
-    )
     # default 256 MB budget: tiny corpus broadcasts...
     broad = minhash_near_dups(
         ray.data.from_arrow(corpus), threshold=0.5, num_perm=64, bands=32

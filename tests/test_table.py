@@ -165,6 +165,21 @@ def test_zorder_range_method_equivalent(table):
         assert kept < len(files)
 
 
+def test_zorder_range_method_hilbert_not_degenerate(table):
+    """Hilbert keys are narrow (10-20 bits); the range-method histogram must
+    adapt its shift to the actual key width instead of folding every key
+    into one cell (single-partition degeneracy)."""
+    fp = table.content_fingerprint(FP_COLS)
+    res = table.zorder(
+        ["repo", "lang", "path"], target_file_bytes=256 * 1024, run_ts=TS,
+        curve="hilbert", method="range",
+    )
+    assert table.content_fingerprint(FP_COLS) == fp
+    # a degenerate single sort partition would emit one oversized run; with
+    # an adapted shift the sized writer sees multiple sorted ranges
+    assert res["files_out"] > 1
+
+
 def test_rewrite_stats_adds_bounds(table):
     snap = table.rewrite_stats(run_ts=TS)
     files = table.files()

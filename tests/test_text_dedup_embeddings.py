@@ -158,6 +158,9 @@ def test_analyze_arrow_matches_legacy_python_re():
             "le chat est dans la maison et il est chaud pour un hiver",
             "el gato es en la casa y es un calor para el invierno",
             "def f(x):\n    return x + 1  # code-ish, punctuation heavy!!!",
+            "自然语言处理是人工智能的一个重要领域。我们喜欢研究它!很好。",
+            "Это естественный русский текст, с запятыми и точками.",
+            "Ελληνικά κείμενα έχουν τόνους, σωστά; Ναι.",
             "",
             "   ",
             "short doc",
