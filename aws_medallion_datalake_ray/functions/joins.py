@@ -18,9 +18,15 @@ sorted ``on`` column, grouped by ``by``).  Nothing reaches the driver.
 side of a range join is small in every real pipeline (windows, campaigns,
 maintenance periods); it is broadcast once via ``ray.put`` and each batch is
 matched with one vectorized mask per interval — O(batch × n_intervals) with
-no per-row Python.  A large interval side would need an interval tree or a
-band-partitioned sort-merge; that variant is intentionally not implemented
-(documented limit: ``len(intervals)`` ≲ 10^4).
+no per-row Python.  Documented limit: ``len(intervals)`` ≲ 10^4.
+
+``range_join_banded``: the scale path when the interval side is itself big
+data.  One hash shuffle on a BAND key (``value // band_width``): an interval
+is fanned into every band it overlaps (≤ 2 bands when ``band_width`` is the
+max interval length — the default, computed in one streaming pass), a row
+lands in exactly ONE band, so every matching (row, interval) pair
+materializes in exactly one group and no dedup pass is needed.  Neither side
+ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -197,3 +203,172 @@ def range_join_intervals(
         )
 
     return ds.map_batches(_match, batch_format="pyarrow")
+
+
+def range_join_banded(
+    ds: "ray.data.Dataset",
+    intervals: "ray.data.Dataset | pa.Table",
+    on: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    id_col: str = "interval_id",
+    columns: Sequence[str] | None = None,
+    band_width: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Co-partitioned range join for LARGE interval sides (billions of
+    intervals): emit one row per (input row, interval) with
+    ``lo <= row[on] < hi``.  Same semantics as :func:`range_join_intervals`,
+    different plan — both sides shuffle once on a band key instead of
+    broadcasting the intervals.
+
+    Banding: ``band = value // band_width``.  An interval is emitted into
+    every band it overlaps; a row into exactly one band; a (row, interval)
+    match therefore appears in exactly one group — no dedup.  With
+    ``band_width=None`` the max interval length is measured in one streaming
+    aggregate, capping the per-interval fan-out at 2 bands (fan-out is
+    ``O(length / band_width + 1)`` for any explicit width).  Skew note: a
+    band holding many intervals AND many rows does O(rows × intervals_in_band)
+    vectorized comparisons per group — pick ``band_width`` near the typical
+    interval length to keep bands sparse.
+    """
+    if isinstance(intervals, pa.Table):
+        intervals = ray.data.from_arrow(intervals)
+    cols = list(columns) if columns is not None else None
+
+    def _iv_norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__iv_id": t[id_col].cast(pa.int64()),
+                "__iv_lo": t[lo].cast(pa.int64()),
+                "__iv_hi": t[hi].cast(pa.int64()),
+            }
+        )
+
+    iv = intervals.map_batches(_iv_norm, batch_format="pyarrow")
+    if band_width is None:
+        mx = iv.map_batches(
+            lambda t: pa.table(
+                {
+                    "mx": pa.array(
+                        [
+                            int(
+                                np.max(
+                                    np.asarray(t["__iv_hi"]) - np.asarray(t["__iv_lo"])
+                                )
+                            )
+                            if len(t)
+                            else 1
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["mx"].max()
+        band_width = max(1, int(mx))
+    W = int(band_width)
+
+    sel_schema = ds.schema().base_schema
+    if cols is not None:
+        sel_schema = pa.schema([sel_schema.field(c) for c in cols])
+    out_cols = list(sel_schema.names)
+    union_schema = pa.schema(
+        [
+            *sel_schema,
+            pa.field("__iv_id", pa.int64()),
+            pa.field("__iv_lo", pa.int64()),
+            pa.field("__iv_hi", pa.int64()),
+            pa.field("__v", pa.int64()),
+            pa.field("__side", pa.int8()),
+            pa.field("__band", pa.int64()),
+        ]
+    )
+
+    def _tag_rows(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[on].cast(pa.int64()))
+        arrays = []
+        for f in union_schema:
+            if f.name == "__side":
+                arrays.append(pa.array(np.zeros(len(t), np.int8)))
+            elif f.name == "__band":
+                arrays.append(pa.array(v // W))
+            elif f.name == "__v":
+                arrays.append(pa.array(v))
+            elif f.name in out_cols:
+                arrays.append(t[f.name].cast(f.type))
+            else:
+                arrays.append(pa.nulls(len(t), f.type))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def _explode_intervals(t: pa.Table) -> pa.Table:
+        ilo = np.asarray(t["__iv_lo"])
+        ihi = np.asarray(t["__iv_hi"])
+        iid = np.asarray(t["__iv_id"])
+        live = ihi > ilo
+        ilo, ihi, iid = ilo[live], ihi[live], iid[live]
+        b0 = ilo // W
+        b1 = (ihi - 1) // W  # hi is exclusive
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(iid)), reps)
+        # band for each emitted copy: b0[i] + offset within the run
+        off = np.arange(len(idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        bands = b0[idx] + off
+        n = len(idx)
+        arrays = []
+        for f in union_schema:
+            if f.name == "__side":
+                arrays.append(pa.array(np.ones(n, np.int8)))
+            elif f.name == "__band":
+                arrays.append(pa.array(bands))
+            elif f.name == "__iv_id":
+                arrays.append(pa.array(iid[idx]))
+            elif f.name == "__iv_lo":
+                arrays.append(pa.array(ilo[idx]))
+            elif f.name == "__iv_hi":
+                arrays.append(pa.array(ihi[idx]))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    src = ds if cols is None else ds.select_columns([*dict.fromkeys([*cols, on])])
+    tagged = src.map_batches(_tag_rows, batch_format="pyarrow").union(
+        iv.map_batches(_explode_intervals, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([*sel_schema, pa.field(id_col, pa.int64())])
+
+    def _match_group(t: pa.Table) -> pa.Table:
+        side = np.asarray(t["__side"])
+        rows = t.filter(pa.array(side == 0))
+        ivs = t.filter(pa.array(side == 1))
+        empty = pa.Table.from_arrays(
+            [pa.array([], f.type) for f in out_schema], schema=out_schema
+        )
+        if len(rows) == 0 or len(ivs) == 0:
+            return empty
+        v = np.asarray(rows["__v"])
+        ilo = np.asarray(ivs["__iv_lo"])
+        ihi = np.asarray(ivs["__iv_hi"])
+        iid = np.asarray(ivs["__iv_id"])
+        take_idx: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        for k in range(len(iid)):
+            m = np.flatnonzero((v >= ilo[k]) & (v < ihi[k]))
+            if len(m):
+                take_idx.append(m)
+                ids.append(np.full(len(m), iid[k]))
+        if not take_idx:
+            return empty
+        idx = np.concatenate(take_idx)
+        out = rows.select(out_cols).take(pa.array(idx))
+        out = out.append_column(
+            id_col, pa.array(np.concatenate(ids).astype(np.int64))
+        )
+        return out.cast(out_schema)
+
+    return tagged.groupby("__band").map_groups(
+        _match_group, batch_format="pyarrow"
+    )

@@ -970,31 +970,58 @@ def q32_asof_attribution(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _sliding_intervals(n_iv: int, stride_h: int, days: int) -> pa.Table:
+    """``n_iv`` windows of ``days`` days sliding every ``stride_h`` hours
+    from the 2024-01-01 fixture anchor (overlapping when stride < length)."""
+    import datetime as _dt
+
+    anchor = _dt.datetime(2024, 1, 1)
+    lo = [anchor + _dt.timedelta(hours=stride_h * i) for i in range(n_iv)]
+    return pa.table(
+        {
+            "interval_id": pa.array(range(n_iv), pa.int64()),
+            "lo": pa.array(lo, pa.timestamp("us")),
+            "hi": pa.array(
+                [x + _dt.timedelta(days=days) for x in lo], pa.timestamp("us")
+            ),
+        }
+    )
+
+
 def q33_interval_range_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast interval RANGE join (`functions/joins.range_join_intervals`):
     events banded into OVERLAPPING 3-day windows sliding every 36 h (overlap
     factor 2 — a plain bucketing cannot express this).  The interval table is
     broadcast once; matching is one vectorized mask per interval; the rollup
     is partial-aggregated per batch before the tiny keyed shuffle."""
-    import datetime as _dt
-
-    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
     from aws_medallion_datalake_ray.functions.joins import range_join_intervals
 
-    anchor = _dt.datetime(2024, 1, 1)
-    n_iv = 20
-    lo = [anchor + _dt.timedelta(hours=36 * i) for i in range(n_iv)]
-    intervals = pa.table(
-        {
-            "interval_id": pa.array(range(n_iv), pa.int64()),
-            "lo": pa.array(lo, pa.timestamp("us")),
-            "hi": pa.array([x + _dt.timedelta(days=3) for x in lo], pa.timestamp("us")),
-        }
-    )
     joined = range_join_intervals(
         _read(sf_dir, "events", columns=["ts", "user_id", "value"]),
-        intervals, on="ts",
+        _sliding_intervals(20, 36, 3), on="ts",
     )
+    return _interval_rollup(joined)
+
+
+def q34_interval_range_join_banded(sf_dir: str) -> pd.DataFrame:
+    """Co-partitioned banded RANGE join (`functions/joins.range_join_banded`)
+    — the scale plan for a LARGE interval side: both sides shuffle once on
+    ``ts // band_width`` instead of broadcasting the intervals.  The explicit
+    12 h band (vs 2-day windows) forces the multi-band interval fan-out path;
+    same rollup shape as q33 over a different (24 h stride, overlap 2×)
+    window set."""
+    from aws_medallion_datalake_ray.functions.joins import range_join_banded
+
+    joined = range_join_banded(
+        _read(sf_dir, "events", columns=["ts", "user_id", "value"]),
+        _sliding_intervals(30, 24, 2), on="ts",
+        band_width=12 * 3600 * 1_000_000,  # 12 h in epoch-us
+    )
+    return _interval_rollup(joined)
+
+
+def _interval_rollup(joined) -> pd.DataFrame:
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
 
     def partial(t: pa.Table) -> pa.Table:
         cents = np.round(np.asarray(t["value"]) * 100).astype(np.int64)
@@ -1318,6 +1345,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
         GROUP BY 1 ORDER BY 1
     """,
+    "q34_interval_range_join_banded": """
+        WITH iv AS (
+            SELECT i AS interval_id,
+                   TIMESTAMP '2024-01-01' + i * INTERVAL 24 HOUR AS lo,
+                   TIMESTAMP '2024-01-01' + i * INTERVAL 24 HOUR
+                     + INTERVAL 2 DAY AS hi
+            FROM range(0, 30) t(i))
+        SELECT iv.interval_id,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               round(sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS sum_value
+        FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+        GROUP BY 1 ORDER BY 1
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -1389,4 +1431,5 @@ SQL_QUERIES = {
     "q31_gold_monthly_rollup": q31_gold_monthly_rollup,
     "q32_asof_attribution": q32_asof_attribution,
     "q33_interval_range_join": q33_interval_range_join,
+    "q34_interval_range_join_banded": q34_interval_range_join_banded,
 }

@@ -27,6 +27,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import time
 import uuid
 from typing import Any, Iterable, Sequence
 
@@ -999,21 +1000,40 @@ class LakeTable:
             )
         # the broadcast path re-reads the update stream up to 3x (keys, dup
         # split, final union); pin it in the object store once
+        phases: dict[str, float] = {}
+        _pt = time.perf_counter()
         updates = updates.materialize()
 
-        # --- collect update keys (key columns only; content never moves)
-        key_parts: list[np.ndarray] = []
-        first_col_vals: list[np.ndarray] = []
-        for batch in updates.select_columns(list(key)).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        ):
-            key_parts.append(_join_keys(batch, key))
-            first_col_vals.append(np.asarray(batch[key[0]].to_pandas(), dtype=object))
-        raw_keys = np.concatenate(key_parts) if key_parts else np.array([], dtype=object)
-        if len(raw_keys) == 0:
+        # --- collect update keys (key columns only; content never moves).
+        # The join + utf-8 encode runs DISTRIBUTED (it was the serial Amdahl
+        # slice of the broadcast plan: ~6.5 s of a 17 s merge at 16 CPUs as a
+        # driver loop); the driver only receives (bytes, len, first-col) rows
+        # and uniques a fixed-width C array.
+        def _prep_keys(t: pa.Table) -> pa.Table:
+            kb = pa.array(_join_keys(t, key), type=pa.large_string()).cast(
+                pa.large_binary()  # zero-copy: utf-8 bytes of the joined key
+            )
+            return pa.table(
+                {
+                    "kb": kb,
+                    "klen": pc.binary_length(kb).cast(pa.int32()),
+                    "first": t[key[0]].cast(pa.large_string()),
+                }
+            )
+
+        kdf = (
+            updates.select_columns(list(key))
+            # batch_size bundles the (often ~200) small input blocks into a
+            # few tasks — per-task overhead beat the parallelism win without it
+            .map_batches(_prep_keys, batch_format="pyarrow", batch_size=65536)
+            .to_pandas()
+        )
+        if len(kdf) == 0:
             return {"updates": 0, "affected_files": 0}
-        lens_all = np.array([len(x.encode("utf-8")) for x in raw_keys], dtype=np.int32)
-        fixed_all = _to_fixed_bytes(raw_keys, f"S{max(1, int(lens_all.max()))}")
+        lens_all = kdf["klen"].to_numpy(np.int32)
+        fixed_all = np.array(
+            kdf["kb"].to_numpy(dtype=object), dtype=f"S{max(1, int(lens_all.max()))}"
+        )
         uniq, first_idx, counts = np.unique(
             fixed_all, return_index=True, return_counts=True
         )
@@ -1051,7 +1071,9 @@ class LakeTable:
                 updates = clean.union(
                     ray.data.from_arrow(pa.Table.from_pandas(dup_rows, preserve_index=False))
                 )
-        upd_first = np.unique(np.concatenate(first_col_vals))
+        upd_first = np.unique(kdf["first"].to_numpy(dtype=object))
+        phases["keys"] = round(time.perf_counter() - _pt, 3)
+        _pt = time.perf_counter()
 
         # --- prune base files via first-key-column stats
         base_files = self.files()
@@ -1094,6 +1116,8 @@ class LakeTable:
         added = self._write_dataset(
             result, min_rows_per_file=self._coalesce_rows_target(affected)
         )
+        phases["antijoin_write"] = round(time.perf_counter() - _pt, 3)
+        _pt = time.perf_counter()
         removed = [f.path for f in affected]
         ledger.mark_completed(
             "merge",
@@ -1110,6 +1134,8 @@ class LakeTable:
             summary={"updates": n_updates, "affected_files": len(affected)},
         )
         ledger.finish()
+        phases["commit"] = round(time.perf_counter() - _pt, 3)
+        self.last_op_timings = phases  # merge phase profile (perf diagnosis)
         return {
             "updates": n_updates,
             "affected_files": len(affected),

@@ -10,7 +10,11 @@ import pytest
 import ray
 import ray.data
 
-from aws_medallion_datalake_ray.functions.joins import asof_join, range_join_intervals
+from aws_medallion_datalake_ray.functions.joins import (
+    asof_join,
+    range_join_banded,
+    range_join_intervals,
+)
 
 
 def _ts(s: str) -> dt.datetime:
@@ -189,3 +193,76 @@ def test_range_join_empty_match_batch_schema(ray_session):
     out = range_join_intervals(ds, iv, on="x")
     assert out.count() == 0
     assert set(out.schema().base_schema.names) == {"x", "interval_id"}
+
+
+def test_range_join_banded_matches_broadcast(ray_session):
+    """The co-partitioned banded plan must produce exactly the broadcast
+    plan's (row, interval) pairs — randomized overlapping intervals, rows
+    outside every interval, intervals spanning many bands, empty bands."""
+    rng = np.random.default_rng(17)
+    n_iv, n_rows = 40, 3000
+    lo = rng.integers(0, 10_000, n_iv)
+    length = rng.integers(1, 800, n_iv)  # some intervals span many 64-bands
+    iv = pa.table(
+        {
+            "interval_id": pa.array(np.arange(n_iv), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(lo + length, pa.int64()),
+        }
+    )
+    rows = pa.table(
+        {
+            "x": pa.array(rng.integers(-500, 12_000, n_rows), pa.int64()),
+            "payload": pa.array(rng.integers(0, 99, n_rows), pa.int64()),
+        }
+    )
+
+    def pairs(ds_out):
+        df = ds_out.to_pandas()
+        return sorted(zip(df["x"], df["payload"], df["interval_id"]))
+
+    broad = pairs(range_join_intervals(ray.data.from_arrow(rows), iv, on="x"))
+    for w in (64, None):  # explicit narrow bands AND the measured default
+        banded = pairs(
+            range_join_banded(
+                ray.data.from_arrow(rows), iv, on="x", band_width=w
+            )
+        )
+        assert banded == broad
+    assert len(broad) > 100  # the fixture actually exercises matching
+
+
+def test_range_join_banded_timestamp_and_columns(ray_session):
+    """Timestamp keys band on epoch-us; `columns` projects the output."""
+    iv = pa.table(
+        {
+            "interval_id": pa.array([0, 1], pa.int64()),
+            "lo": pa.array(
+                [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)],
+                pa.timestamp("us"),
+            ),
+            "hi": pa.array(
+                [dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    rows = pa.table(
+        {
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 2, 12),
+                 dt.datetime(2024, 1, 5)],
+                pa.timestamp("us"),
+            ),
+            "uid": pa.array([7, 8, 9], pa.int64()),
+            "junk": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    out = range_join_banded(
+        ray.data.from_arrow(rows), iv, on="ts", columns=["uid"],
+        band_width=12 * 3600 * 1_000_000,
+    ).to_pandas()
+    assert set(out.columns) == {"uid", "interval_id"}
+    got = sorted(zip(out["uid"], out["interval_id"]))
+    # 01-01T12 in iv0 only; 01-02T12 overlaps both; 01-05 in none
+    assert got == [(7, 0), (8, 0), (8, 1)]

@@ -291,6 +291,40 @@ def test_merge_upsert_semantics(table, source_files_small):
     assert len(got_set) == got.num_rows
 
 
+def test_merge_non_ascii_keys(tmp_path, ray_session):
+    """Key join/encode is utf-8 byte-width aware: multi-byte keys must not
+    false-positive against ascii prefixes in the fixed-width broadcast set."""
+    base = pa.table(
+        {
+            "repo": pa.array(["naïve/répo", "naive/repo", "中文/репо"]),
+            "path": pa.array(["ü.py", "u.py", "深/п.py"]),
+            "commit": pa.array(["c1", "c1", "c1"]),
+            "content": pa.array(["old1", "old2", "old3"]),
+        }
+    )
+    t = LakeTable.create(str(tmp_path / "u"))
+    t.append(ray.data.from_arrow(base), run_ts=TS)
+    upd = pa.table(
+        {
+            "repo": pa.array(["naïve/répo", "new/répo"]),
+            "path": pa.array(["ü.py", "ü.py"]),
+            "commit": pa.array(["c1", "c9"]),
+            "content": pa.array(["NEW1", "NEW4"]),
+        }
+    )
+    res = t.merge(upd, run_ts=TS)
+    assert res["updates"] == 2
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["content"]
+        for r in t.to_arrow().to_pylist()
+    }
+    assert got[("naïve/répo", "ü.py", "c1")] == "NEW1"  # updated
+    assert got[("naive/repo", "u.py", "c1")] == "old2"  # ascii twin untouched
+    assert got[("中文/репо", "深/п.py", "c1")] == "old3"
+    assert got[("new/répo", "ü.py", "c9")] == "NEW4"  # inserted
+    assert len(got) == 4
+
+
 def test_merge_idempotent(table, source_files_small):
     upd = make_updates(source_files_small, 300, seed=44)
     table.merge(upd, run_ts=TS)
