@@ -36,6 +36,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -214,13 +215,12 @@ def range_join_banded(
     id_col: str = "interval_id",
     columns: Sequence[str] | None = None,
     band_width: int | None = None,
-    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Co-partitioned range join for LARGE interval sides (billions of
     intervals): emit one row per (input row, interval) with
-    ``lo <= row[on] < hi``.  Same semantics as :func:`range_join_intervals`,
-    different plan — both sides shuffle once on a band key instead of
-    broadcasting the intervals.
+    ``lo <= row[on] < hi``.  Same semantics as :func:`range_join_intervals`
+    (null ``on`` values match nothing), different plan — both sides shuffle
+    once on a band key instead of broadcasting the intervals.
 
     Banding: ``band = value // band_width``.  An interval is emitted into
     every band it overlaps; a row into exactly one band; a (row, interval)
@@ -247,6 +247,9 @@ def range_join_banded(
 
     iv = intervals.map_batches(_iv_norm, batch_format="pyarrow")
     if band_width is None:
+        # the max-length probe would otherwise re-execute the intervals
+        # pipeline (it is consumed again by the union below) — pin it once
+        iv = iv.materialize()
         mx = iv.map_batches(
             lambda t: pa.table(
                 {
@@ -265,8 +268,10 @@ def range_join_banded(
                 }
             ),
             batch_format="pyarrow",
-        ).to_pandas()["mx"].max()
-        band_width = max(1, int(mx))
+        ).to_pandas()
+        # an empty intervals dataset yields a column-less frame
+        mx = mx["mx"].max() if "mx" in mx.columns else None
+        band_width = max(1, int(mx)) if mx is not None and pd.notna(mx) else 1
     W = int(band_width)
 
     sel_schema = ds.schema().base_schema
@@ -286,7 +291,11 @@ def range_join_banded(
     )
 
     def _tag_rows(t: pa.Table) -> pa.Table:
-        v = np.asarray(t[on].cast(pa.int64()))
+        on_i = t[on].cast(pa.int64())
+        if on_i.null_count:  # null on-values match nothing (broadcast parity)
+            t = t.filter(pc.is_valid(on_i))
+            on_i = t[on].cast(pa.int64())
+        v = np.asarray(on_i)
         arrays = []
         for f in union_schema:
             if f.name == "__side":
@@ -307,6 +316,10 @@ def range_join_banded(
         iid = np.asarray(t["__iv_id"])
         live = ihi > ilo
         ilo, ihi, iid = ilo[live], ihi[live], iid[live]
+        if len(iid) == 0:  # empty batch / all-degenerate (hi <= lo) intervals
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in union_schema], schema=union_schema
+            )
         b0 = ilo // W
         b1 = (ihi - 1) // W  # hi is exclusive
         reps = (b1 - b0 + 1).astype(np.int64)

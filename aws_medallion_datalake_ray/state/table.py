@@ -230,6 +230,7 @@ class LakeTable:
         self.root = root
         self.store = ManifestStore(root)
         self.data_dir = os.path.join(root, "data")
+        self.last_op_timings: dict[str, float] = {}  # merge phase profile
         cfg_path = os.path.join(root, "table.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
@@ -988,6 +989,10 @@ class LakeTable:
         ``strategy``: "auto" (count-based), "broadcast", or "partitioned".
         """
         key = tuple(key)
+        # cleared on EVERY merge entry (incl. partitioned/empty paths) so a
+        # stale broadcast profile never misattributes; broadcast plan fills it
+        phases: dict[str, float] = {}
+        self.last_op_timings = phases
         if isinstance(updates, pa.Table):
             n_raw = updates.num_rows  # known — skip a full count() pass
             updates = ray.data.from_arrow(updates)
@@ -1000,7 +1005,6 @@ class LakeTable:
             )
         # the broadcast path re-reads the update stream up to 3x (keys, dup
         # split, final union); pin it in the object store once
-        phases: dict[str, float] = {}
         _pt = time.perf_counter()
         updates = updates.materialize()
 
@@ -1017,7 +1021,10 @@ class LakeTable:
                 {
                     "kb": kb,
                     "klen": pc.binary_length(kb).cast(pa.int32()),
-                    "first": t[key[0]].cast(pa.large_string()),
+                    # NATIVE type: file pruning compares these against parquet
+                    # footer stats (int vs int, str vs str) — a string cast
+                    # here would break pruning for non-string first keys
+                    "first": t[key[0]],
                 }
             )
 
@@ -1135,7 +1142,6 @@ class LakeTable:
         )
         ledger.finish()
         phases["commit"] = round(time.perf_counter() - _pt, 3)
-        self.last_op_timings = phases  # merge phase profile (perf diagnosis)
         return {
             "updates": n_updates,
             "affected_files": len(affected),

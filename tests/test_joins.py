@@ -266,3 +266,49 @@ def test_range_join_banded_timestamp_and_columns(ray_session):
     got = sorted(zip(out["uid"], out["interval_id"]))
     # 01-01T12 in iv0 only; 01-02T12 overlaps both; 01-05 in none
     assert got == [(7, 0), (8, 0), (8, 1)]
+
+
+def test_range_join_banded_empty_and_degenerate_intervals(ray_session):
+    """Empty interval side / all-degenerate (hi <= lo) intervals return an
+    empty result (not a numpy broadcast crash), matching the broadcast plan."""
+    rows = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    empty = pa.table(
+        {
+            "interval_id": pa.array([], pa.int64()),
+            "lo": pa.array([], pa.int64()),
+            "hi": pa.array([], pa.int64()),
+        }
+    )
+    out = range_join_banded(ray.data.from_arrow(rows), empty, on="x")
+    assert out.count() == 0
+    degen = pa.table(
+        {
+            "interval_id": pa.array([0, 1], pa.int64()),
+            "lo": pa.array([10, 20], pa.int64()),
+            "hi": pa.array([10, 15], pa.int64()),  # hi <= lo: match nothing
+        }
+    )
+    out2 = range_join_banded(ray.data.from_arrow(rows), degen, on="x", band_width=5)
+    assert out2.count() == 0
+
+
+def test_range_join_banded_null_on_matches_broadcast(ray_session):
+    """Null on-values match nothing in BOTH plans (the banded plan must not
+    crash casting NaN bands to int64)."""
+    iv = pa.table(
+        {
+            "interval_id": pa.array([0], pa.int64()),
+            "lo": pa.array([0], pa.int64()),
+            "hi": pa.array([100], pa.int64()),
+        }
+    )
+    rows = pa.table(
+        {
+            "x": pa.array([5, None, 50, None], pa.int64()),
+            "rid": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    broad = range_join_intervals(ray.data.from_arrow(rows), iv, on="x").to_pandas()
+    band = range_join_banded(ray.data.from_arrow(rows), iv, on="x").to_pandas()
+    assert sorted(broad["rid"]) == [1, 3]
+    assert sorted(band["rid"]) == sorted(broad["rid"])

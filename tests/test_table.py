@@ -389,3 +389,22 @@ def test_zorder_single_repo_scan_prunes(tmp_path, ray_session):
     assert max(fracs) < 0.5, fracs
     # clustering must not lose rows
     assert t.scan().count() == 12000
+
+
+def test_merge_int_key_prunes_with_native_stats(tmp_path, ray_session):
+    """Merge key prep must keep the first key column's NATIVE type: file
+    pruning compares it against parquet footer stats (int vs int); a string
+    cast would TypeError or — worse — prune lexicographically."""
+    t = LakeTable.create(str(tmp_path / "ik"), stats_cols=("id",))
+    lo = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "v": pa.array(["a", "b", "c"])})
+    hi = pa.table({"id": pa.array([100, 200, 300], pa.int64()),
+                   "v": pa.array(["x", "y", "z"])})
+    t.append(ray.data.from_arrow(lo), run_ts=TS)
+    t.append(ray.data.from_arrow(hi), run_ts=TS)
+    upd = pa.table({"id": pa.array([2, 100], pa.int64()),
+                    "v": pa.array(["B", "X"])})
+    res = t.merge(upd, key=("id",), run_ts=TS)
+    assert res["updates"] == 2
+    got = {r["id"]: r["v"] for r in t.to_arrow().to_pylist()}
+    assert got == {1: "a", 2: "B", 3: "c", 100: "X", 200: "y", 300: "z"}
