@@ -72,6 +72,13 @@ def asof_join(
     right columns)`` sort order within the partition — callers needing a
     specific tie-break should pre-sort/dedup the right side (the query-suite
     user guarantees tie-free ``(by, on)``).
+
+    Skew: all rows of one ``by`` key land in one partition (inherent to a
+    per-key temporal join — the key's whole timeline must be co-located), so
+    a key holding X% of the data bounds the stage at X% on one core.  The
+    fix at that extreme is time-range sub-partitioning with boundary handoff
+    (carry the last right row per key across range edges); not implemented —
+    the fixture's keys are user-grained and near-uniform.
     """
     by = list(by)
     lcols = [f.name for f in left.schema().base_schema]
