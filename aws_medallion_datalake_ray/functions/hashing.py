@@ -124,7 +124,11 @@ def rolling_token_windows(
     with np.errstate(over="ignore"):
         sh = th[: n - k + 1].copy()
         for j in range(1, k):
-            sh = sh * base + th[j : n - k + 1 + j]
+            # in-place: fresh 8B*n temporaries per iteration cost more in
+            # first-touch page faults than the arithmetic itself (measured
+            # ~50x on this host: 1.4 s faulting vs 0.03 s warm for 2M rows)
+            np.multiply(sh, base, out=sh)
+            np.add(sh, th[j : n - k + 1 + j], out=sh)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     n_win = counts - k + 1
     widx = np.arange(int(n_win.sum())) - np.repeat(np.cumsum(n_win) - n_win, n_win)

@@ -169,7 +169,8 @@ class TextAnalyzer:
         with np.errstate(over="ignore"):
             roll = th[: n - window + 1].copy()
             for j in range(1, window):
-                roll = roll * B + th[j : n - window + 1 + j]
+                np.multiply(roll, B, out=roll)  # in-place: page-fault economy
+                np.add(roll, th[j : n - window + 1 + j], out=roll)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         n_win = counts - window + 1
         idx = np.concatenate([np.arange(s, s + m) for s, m in zip(starts, n_win)])
@@ -177,8 +178,10 @@ class TextAnalyzer:
         offsets = np.concatenate([[0], np.cumsum(n_win)[:-1]])
         with np.errstate(over="ignore"):
             fold = np.zeros(len(offsets), dtype=np.uint64)
+            buf = np.empty_like(roll)
             for p in perms:
-                fold ^= np.minimum.reduceat(roll * p, offsets)
+                np.multiply(roll, p, out=buf)
+                fold ^= np.minimum.reduceat(buf, offsets)
         return pd.Series([f"{x:016x}" for x in fold], index=texts.index, dtype=object)
 
     # ---------------------------------------------------------- fused pass
@@ -286,8 +289,10 @@ class TextAnalyzer:
         roll, offsets = rolling_token_windows(th, counts, window, np.uint64(1000003))
         with np.errstate(over="ignore"):
             fold = np.zeros(len(offsets), dtype=np.uint64)
-            for p in perms:
-                fold ^= np.minimum.reduceat(roll * p, offsets)
+            buf = np.empty_like(roll)  # reused: fresh temporaries per perm
+            for p in perms:             # cost more in page faults than math
+                np.multiply(roll, p, out=buf)
+                fold ^= np.minimum.reduceat(buf, offsets)
         return np.array([f"{x:016x}" for x in fold], dtype=object)
 
     def analyze(self, texts: pd.Series) -> pd.DataFrame:

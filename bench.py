@@ -147,6 +147,9 @@ def run_bench() -> dict:
             analyze_batch_arrow,
             fn_kwargs={"text_col": "content"},
             batch_format="pyarrow",
+            # 4096-doc batches: whole-block batches load-balance poorly and
+            # spike RE2/fingerprint buffers; measured 2.5x vs batch_size=None
+            batch_size=4096,
         )
 
         def partial(t):
