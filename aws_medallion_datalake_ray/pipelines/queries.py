@@ -1058,6 +1058,352 @@ def _interval_rollup(joined) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q35
+
+
+def q35_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (SURVEY A4 generalized to grouping sets): one
+    distributed groupby at the FINEST grain (partial integer-cent combine in
+    map_batches), then the subtotal / grand-total levels are derived from the
+    tiny finest-grain result on the driver — never a second scan.  At 100 TB
+    the shuffle moves only (priority x status) partial rows per block."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return (
+            pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "o_orderstatus": t["o_orderstatus"],
+                      "p_c": cents,
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["o_orderpriority", "o_orderstatus"])
+            .aggregate([("p_c", "sum"), ("p_n", "sum")])
+            .rename_columns(["o_orderpriority", "o_orderstatus", "p_c", "p_n"])
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    levels = [fine]
+    mid = fine.groupby("o_orderpriority", as_index=False)[["c", "n"]].sum()
+    mid["o_orderstatus"] = "ALL"
+    top = pd.DataFrame({"o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+                        "c": [fine["c"].sum()], "n": [fine["n"].sum()]})
+    levels += [mid, top]
+    out = pd.concat(levels, ignore_index=True)
+    out["total_price"] = (out["c"] / 100.0).round(2)
+    out["n_orders"] = out["n"].astype("int64")
+    return out[["o_orderpriority", "o_orderstatus", "n_orders", "total_price"]] \
+        .sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q36
+
+
+def q36_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
+    """Running-total window (SUM OVER PARTITION BY ... ORDER BY): the heavy
+    aggregation (orders x broadcast segment lookup -> monthly cents) is fully
+    distributed with in-batch combiners; the cumulative sum runs on the tiny
+    (segment x month) aggregate on the driver — the scale-correct split for
+    an unbounded-preceding window over a low-cardinality frame."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+
+    def partial(t: pa.Table, ref=seg_ref) -> pa.Table:
+        seg_map = ray.get(ref)
+        seg = pd.Series(t["o_custkey"].to_pandas()).map(seg_map)
+        od = t["o_orderdate"].to_pandas()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return (
+            pa.table({"segment": pa.array(seg, pa.string()),
+                      "ano": pa.array(od.dt.year.to_numpy(np.int32)),
+                      "mes": pa.array(od.dt.month.to_numpy(np.int32)),
+                      "p_c": cents})
+            .group_by(["segment", "ano", "mes"])
+            .aggregate([("p_c", "sum")])
+            .rename_columns(["segment", "ano", "mes", "p_c"])
+        )
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "ano", "mes"])
+        .aggregate(Sum("p_c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["segment", "ano", "mes"])
+        .reset_index(drop=True)
+    )
+    agg["month_rev"] = (agg["c"] / 100.0).round(2)
+    agg["cum_rev"] = (agg.groupby("segment")["c"].cumsum() / 100.0).round(2)
+    return agg[["segment", "ano", "mes", "month_rev", "cum_rev"]]
+
+
+# ---------------------------------------------------------------- q37
+
+
+def q37_regional_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped multiway join (region -> nation -> supplier ->
+    lineitem): the three dim hops collapse into ONE broadcast suppkey ->
+    nation-name map built driver-side from the small tables, so the 100-TB
+    fact side does a single map_batches lookup + in-batch combine — no
+    all-to-all join for star topologies whose dim chain fits in the object
+    store."""
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = supp[supp["s_nationkey"].isin(nkey_to_name)]
+    supp_to_nation = dict(zip(supp["s_suppkey"],
+                              supp["s_nationkey"].map(nkey_to_name)))
+    ref = ray.put(supp_to_nation)
+
+    def partial(t: pa.Table, ref=ref) -> pa.Table:
+        m = ray.get(ref)
+        names = pd.Series(t["l_suppkey"].to_pandas()).map(m)
+        keep = names.notna().to_numpy()
+        if not keep.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64())})
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        return (
+            pa.table({"n_name": pa.array(names[keep], pa.string()),
+                      "p_c": pa.array(np.asarray(cents4)[keep]),
+                      "p_n": pa.array(np.ones(int(keep.sum()), np.int64))})
+            .group_by("n_name")
+            .aggregate([("p_c", "sum"), ("p_n", "sum")])
+            .rename_columns(["n_name", "p_c", "p_n"])
+        )
+
+    out = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    # integer half-up at the cent boundary, matching q01's convention
+    out["revenue"] = ((out["c"] + 50) // 100) / 100.0
+    out["n_items"] = out["n"].astype("int64")
+    return out[["n_name", "revenue", "n_items"]].sort_values(
+        "n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q38
+
+
+def q38_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Grouped EXACT quantiles at scale: per-block Arrow group_by builds
+    (flag, cents) -> count partial histograms, a distributed groupby sums
+    them, and the driver reduces one histogram per group (cardinality is
+    bounded by the PRICE DOMAIN, not the corpus — the same guarantee as
+    q24's global sketch, per group)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return (
+            pa.table({"l_returnflag": t["l_returnflag"], "cents": cents,
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["l_returnflag", "cents"])
+            .aggregate([("p_n", "sum")])
+            .rename_columns(["l_returnflag", "cents", "p_n"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "cents"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "cents"])
+    )
+    rows = []
+    for flag, g in hist.groupby("l_returnflag", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["cents"].to_numpy()
+        row = {"l_returnflag": flag, "n_rows": total}
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            k = int(np.ceil(q * total))  # quantile_disc: smallest x, cum >= k
+            row[name] = vals[int(np.searchsorted(cum, k))] / 100.0
+        rows.append(row)
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_rows", "p25", "p50", "p90"])
+
+
+# ---------------------------------------------------------------- q39
+
+
+def q39_vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed vocabulary build (word-count with combiner) — the
+    training-data-pipeline classic: tokenize inside map_batches with Arrow
+    RE2 kernels (utf8_lower + split_pattern_regex, zero Python loops), emit
+    per-block (word, n) partials, groupby-sum, then per-block LOCAL top-k so
+    only k rows per output block reach the driver merge (no global sort of
+    the vocabulary)."""
+    K = 20
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "p_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (
+        ds.map_batches(tokenize, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "word"], ascending=[False, True]).head(K),
+            preserve_index=False,
+        )
+
+    top = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["n", "word"], ascending=[False, True]).head(K)
+    top["n"] = top["n"].astype("int64")
+    return top[["word", "n"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q40
+
+
+def q40_expensive_parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Above-group-average filter (TPC-H Q17 shape, decorrelated): pass 1
+    computes per-brand (sum-cents, n) partials distributed; the tiny brand
+    stats broadcast back into pass 2's filter.  The comparison
+    price > 1.03 * avg runs in EXACT integers (cents*100*n > 103*sum_cents)
+    so no float threshold can disagree with the oracle (brand prices span
+    only ~900-1000 in the fixture, hence the tight multiplier)."""
+    ds_cols = ["p_brand", "p_retailprice"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return (
+            pa.table({"p_brand": t["p_brand"], "p_c": cents,
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("p_brand")
+            .aggregate([("p_c", "sum"), ("p_n", "sum")])
+            .rename_columns(["p_brand", "p_c", "p_n"])
+        )
+
+    stats = (
+        _read(sf_dir, "part", columns=ds_cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("p_c", alias_name="s"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    ref = ray.put({b: (int(s), int(n))
+                   for b, s, n in zip(stats["p_brand"], stats["s"], stats["n"])})
+
+    def count_expensive(t: pa.Table, ref=ref) -> pa.Table:
+        m = ray.get(ref)
+        brands = t["p_brand"].to_pandas()
+        sn = brands.map(m)
+        s = np.array([x[0] for x in sn], np.int64)
+        n = np.array([x[1] for x in sn], np.int64)
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["p_retailprice"], pa.scalar(100.0))),
+                    pa.int64())
+        )
+        hot = cents * 100 * n > 103 * s
+        if not hot.any():
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "p_k": pa.array([], pa.int64())})
+        return (
+            pa.table({"p_brand": pa.array(brands[hot], pa.string()),
+                      "p_k": pa.array(np.ones(int(hot.sum()), np.int64))})
+            .group_by("p_brand")
+            .aggregate([("p_k", "sum")])
+            .rename_columns(["p_brand", "p_k"])
+        )
+
+    exp = (
+        _read(sf_dir, "part", columns=ds_cols)
+        .map_batches(count_expensive, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("p_k", alias_name="k"))
+        .to_pandas()
+    )
+    if "p_brand" not in exp.columns:  # zero qualifying rows anywhere
+        exp = pd.DataFrame({"p_brand": pd.Series([], dtype=str),
+                            "k": pd.Series([], dtype="int64")})
+    out = stats.merge(exp, on="p_brand", how="left")
+    out["n_expensive"] = out["k"].fillna(0).astype("int64")
+    # half-up integer rounding of the mean to cents (matches oracle int math)
+    out["avg_price"] = ((2 * out["s"] + out["n"]) // (2 * out["n"])) / 100.0
+    return out[["p_brand", "avg_price", "n_expensive"]].sort_values(
+        "p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q41
+
+
+def q41_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based sampling (the eval-set/holdout split every
+    large corpus pipeline needs): keep doc iff md5(doc_id) lands in a 1/20
+    residue class — stable under reruns, re-shards, and engine choice, unlike
+    random_sample.  The md5 runs over the 8-byte KEY column only (content
+    never hashed); DuckDB's md5_number_lower = little-endian low half of the
+    digest, reproduced here byte-for-byte."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") % 20 == 0 for i in ids),
+            np.bool_, count=len(ids))
+        return t.filter(pa.array(keep))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"lang": t["lang"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_ch": t["n_chars"]})
+            .group_by("lang")
+            .aggregate([("p_n", "sum"), ("p_ch", "sum")])
+            .rename_columns(["lang", "p_n", "p_ch"])
+        )
+
+    out = (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_ch", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["lang", "n_docs", "sum_chars"]].sort_values(
+        "lang").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -1360,6 +1706,86 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
         GROUP BY 1 ORDER BY 1
     """,
+    "q35_rollup_revenue": """
+        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               coalesce(o_orderstatus, 'ALL')  AS o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY 1, 2
+    """,
+    "q36_cumulative_revenue": """
+        SELECT segment, ano, mes,
+               round(c / 100.0, 2) AS month_rev,
+               round(sum(c) OVER (PARTITION BY segment ORDER BY ano, mes)
+                     / 100.0, 2) AS cum_rev
+        FROM (
+            SELECT c.c_mktsegment AS segment,
+                   year(o.o_orderdate) AS ano, month(o.o_orderdate) AS mes,
+                   sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS c
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2, 3
+        )
+        ORDER BY segment, ano, mes
+    """,
+    "q37_regional_supplier_revenue": """
+        -- TPC-H Q5 shape; revenue accumulates exact 1e-4 units then rounds
+        -- half-up at the cent boundary (q01 convention)
+        SELECT n.n_name AS n_name,
+               ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q38_grouped_quantiles": """
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
+               round(quantile_disc(l_extendedprice, 0.5), 2)  AS p50,
+               round(quantile_disc(l_extendedprice, 0.9), 2)  AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q39_vocab_topk": """
+        SELECT w AS word, count(*) AS n FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents
+        ) WHERE w <> ''
+        GROUP BY w ORDER BY n DESC, word LIMIT 20
+    """,
+    "q40_expensive_parts_by_brand": """
+        -- threshold price > 1.03 * brand-average compared in exact integers
+        -- (cents*100*n > 103*sum_cents) so no float boundary can flip a row;
+        -- avg rounds half-up to cents via (2s+n)//(2n)
+        WITH b AS (
+            SELECT p_brand,
+                   sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM part GROUP BY p_brand
+        )
+        SELECT b.p_brand AS p_brand,
+               ((2 * b.s + b.n) // (2 * b.n)) / 100.0 AS avg_price,
+               CAST(coalesce(sum(CASE WHEN
+                        CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                             * 100 * b.n > 103 * b.s
+                    THEN 1 END), 0) AS BIGINT) AS n_expensive
+        FROM part p JOIN b ON p.p_brand = b.p_brand
+        GROUP BY b.p_brand, b.s, b.n
+        ORDER BY p_brand
+    """,
+    "q41_hash_sample": """
+        -- md5_number_lower(id) % 20 == 0: the same deterministic 5% residue
+        -- class the engine computes from digest[8:16] little-endian
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0
+        GROUP BY lang ORDER BY lang
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -1432,4 +1858,11 @@ SQL_QUERIES = {
     "q32_asof_attribution": q32_asof_attribution,
     "q33_interval_range_join": q33_interval_range_join,
     "q34_interval_range_join_banded": q34_interval_range_join_banded,
+    "q35_rollup_revenue": q35_rollup_revenue,
+    "q36_cumulative_revenue": q36_cumulative_revenue,
+    "q37_regional_supplier_revenue": q37_regional_supplier_revenue,
+    "q38_grouped_quantiles": q38_grouped_quantiles,
+    "q39_vocab_topk": q39_vocab_topk,
+    "q40_expensive_parts_by_brand": q40_expensive_parts_by_brand,
+    "q41_hash_sample": q41_hash_sample,
 }
