@@ -156,6 +156,65 @@ def demo_snapshot_time_travel(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_schema_evolution(sf_dir: str) -> pd.DataFrame:
+    """Metadata-only schema evolution (add + default, rename) with on-the-fly
+    scan reconciliation, then compact physically upgrading old files; the
+    content fingerprint over the evolved columns must survive the upgrade."""
+    t, base = _fresh_table(sf_dir, "evolve")
+    n = len(base)
+    t.evolve_schema(add={"stars": (pa.int64(), 0)}, rename={"lang": "language"},
+                    run_ts=_TS)
+    got = t.to_arrow(columns=["language", "stars"])
+    fp_before = t.content_fingerprint(("repo", "path", "language", "stars"))
+    t.compact(target_file_bytes=8 * 1024 * 1024, run_ts=_TS)
+    fp_after = t.content_fingerprint(("repo", "path", "language", "stars"))
+    phys = pq.read_schema(t.abs(t.files()[0].path))
+    return pd.DataFrame(
+        [
+            {
+                "rows": len(got),
+                "rows_stable": len(got) == n,
+                "defaults_filled": got["stars"].null_count == 0,
+                "renamed_visible": "language" in got.column_names,
+                "fingerprint_stable": fp_before == fp_after,
+                "compact_upgraded_files": ("stars" in phys.names
+                                           and "lang" not in phys.names),
+            }
+        ]
+    )
+
+
+def demo_change_feed(sf_dir: str) -> pd.DataFrame:
+    """CDC between snapshots from the manifest file delta: compaction cancels
+    to an empty feed; a merge surfaces exactly its inserts/updates."""
+    t, base = _fresh_table(sf_dir, "cdc")
+    s1 = t.store.head_id()
+    t.compact(target_file_bytes=8 * 1024 * 1024, run_ts=_TS)
+    s2 = t.store.head_id()
+    n_maint = t.change_feed(s1, s2, key_cols=FP_COLS[:3]).count()
+    upd = make_updates(base, 200, seed=7)
+    # plus 50 in-place content rewrites (same key) -> surface as "update"
+    rewrite = base.slice(0, 50).set_column(
+        base.column_names.index("content"), "content",
+        pa.array([f"// rewritten {i}\n" for i in range(50)],
+                 base.schema.field("content").type),
+    )
+    t.merge(upd, run_ts="2024-01-02T00:00:00")
+    t.merge(rewrite, run_ts="2024-01-02T00:00:01")
+    feed = t.change_feed(s2, key_cols=FP_COLS[:3]).to_pandas()
+    c = feed["_change"].value_counts() if len(feed) else {}
+    return pd.DataFrame(
+        [
+            {
+                "maintenance_changes": n_maint,
+                "inserts": int(c.get("insert", 0)),
+                "updates": int(c.get("update", 0)),
+                "deletes": int(c.get("delete", 0)),
+            }
+        ]
+    )
+
+
 def demo_medallion(sf_dir: str) -> pd.DataFrame:
     """Bronze→silver→gold promotion over source_files; returns the gold
     lang_summary (counts deterministic; float avg dropped)."""
@@ -447,6 +506,8 @@ DEMO_QUERIES = {
     "m03_snapshot_time_travel": demo_snapshot_time_travel,
     "m04_medallion_gold": demo_medallion,
     "m05_partitioned_table": demo_partitioned_table,
+    "m06_schema_evolution": demo_schema_evolution,
+    "m07_change_feed": demo_change_feed,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,

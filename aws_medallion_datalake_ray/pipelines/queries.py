@@ -1404,6 +1404,73 @@ def q41_hash_sample(sf_dir: str) -> pd.DataFrame:
         "lang").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q42
+
+
+def q42_sequence_packing(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing / token-offset sharding — the LLM-training step that
+    turns a document corpus into fixed-budget training sequences: doc d
+    (ordered by doc_id) starts at global char offset ``sum(n_chars of all
+    smaller ids)`` and joins sequence ``offset // BUDGET``.  The global
+    prefix sum is DISTRIBUTED: stage 1 computes per-coarse-bucket sums
+    (one small groupby), the driver turns the tiny bucket vector into
+    exclusive offsets, stage 2 re-groups by bucket and cumsums locally
+    against the broadcast bucket offset.  No stage ever sees the global
+    order; at 10^12 docs only the O(#buckets) offset vector is centralized
+    (pick W so buckets stay ~1e5 docs)."""
+    BUDGET = 4096
+    W = 256  # doc_ids per coarse bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("b", pc.divide(t["doc_id"], W))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+
+    bsums = (
+        ds.map_batches(
+            lambda t: t.select(["b", "n_chars"]).group_by("b")
+            .aggregate([("n_chars", "sum")]).rename_columns(["b", "p_ch"]),
+            batch_format="pyarrow",
+        )
+        .groupby("b").aggregate(Sum("p_ch", alias_name="ch"))
+        .to_pandas().sort_values("b")
+    )
+    off = dict(zip(bsums["b"], bsums["ch"].cumsum() - bsums["ch"]))
+    off_ref = ray.put(off)
+
+    def pack_bucket(t: pa.Table, ref=off_ref) -> pa.Table:
+        offs = ray.get(ref)
+        df = t.to_pandas().sort_values("doc_id")
+        start = df["n_chars"].cumsum() - df["n_chars"] + int(offs[df["b"].iloc[0]])
+        seq = (start // BUDGET).to_numpy(np.int64)
+        vals, counts = np.unique(seq, return_counts=True)
+        return pa.table({"seq_id": pa.array(vals),
+                         "p_docs": pa.array(counts.astype(np.int64))})
+
+    per_seq = (
+        ds.groupby("b")
+        .map_groups(pack_bucket, batch_format="pyarrow")
+        .groupby("seq_id")
+        .aggregate(Sum("p_docs", alias_name="docs_in_seq"))
+    )
+
+    hist = (
+        per_seq.map_batches(
+            lambda t: pa.table({"docs_in_seq": t["docs_in_seq"],
+                                "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("docs_in_seq").aggregate([("p_n", "sum")])
+            .rename_columns(["docs_in_seq", "p_n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("docs_in_seq").aggregate(Sum("p_n", alias_name="n_seqs"))
+        .to_pandas()
+    )
+    hist["docs_in_seq"] = hist["docs_in_seq"].astype("int64")
+    hist["n_seqs"] = hist["n_seqs"].astype("int64")
+    return hist.sort_values("docs_in_seq").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -1786,6 +1853,21 @@ ORACLE_SQL: dict[str, str] = {
         WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0
         GROUP BY lang ORDER BY lang
     """,
+    "q42_sequence_packing": """
+        -- sequence packing by global char offset: doc joins sequence
+        -- floor(start_offset / 4096); output = docs-per-sequence histogram
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id) - n_chars AS start_off
+            FROM documents
+        ), s AS (
+            SELECT start_off // 4096 AS seq_id, count(*) AS d
+            FROM c GROUP BY 1
+        )
+        SELECT CAST(d AS BIGINT) AS docs_in_seq,
+               CAST(count(*) AS BIGINT) AS n_seqs
+        FROM s GROUP BY d ORDER BY docs_in_seq
+    """,
     "q25_top_orders_per_segment": """
         SELECT segment, rank, o_orderkey, o_totalprice FROM (
             SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
@@ -1865,4 +1947,5 @@ SQL_QUERIES = {
     "q39_vocab_topk": q39_vocab_topk,
     "q40_expensive_parts_by_brand": q40_expensive_parts_by_brand,
     "q41_hash_sample": q41_hash_sample,
+    "q42_sequence_packing": q42_sequence_packing,
 }

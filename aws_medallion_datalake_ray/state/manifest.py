@@ -239,6 +239,16 @@ class ManifestStore:
             new_id = (parent_id or 0) + 1
             if schema_json is None and head is not None:
                 schema_json = head.schema_json
+            # schema-evolution spec (renames/defaults) rides on snapshots the
+            # same way schema_json does: inherited by every descendant commit
+            # unless a commit explicitly sets a new one, so time travel to a
+            # pre-evolution snapshot sees no spec
+            if (
+                head is not None
+                and "evolution" in (head.summary or {})
+                and "evolution" not in (summary or {})
+            ):
+                summary = dict(summary or {}, evolution=head.summary["evolution"])
 
             manifests: list[str] = []
             rewrite_spill: list[DataFile] = []

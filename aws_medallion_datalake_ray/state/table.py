@@ -25,6 +25,7 @@ Maintenance ops (the BASELINE.json north_rule suite):
 from __future__ import annotations
 
 import base64
+import functools as _functools
 import json
 import os
 import time
@@ -62,6 +63,63 @@ def _schema_to_json(schema: pa.Schema) -> str:
 
 def _schema_from_json(s: str) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+@_functools.lru_cache(maxsize=64)
+def _cached_schema(schema_json: str) -> pa.Schema:
+    return _schema_from_json(schema_json)
+
+
+def _reconcile_batch(
+    t: pa.Table,
+    *,
+    schema_json: str,
+    renames: dict[str, str],
+    defaults: dict[str, Any],
+    want: tuple[str, ...],
+) -> pa.Table:
+    """Reconcile a (possibly pre-evolution) batch to the ``want`` subset of
+    the evolved schema: rename old->new, default/null-fill added columns,
+    cast widened types.  Arrow-kernel only — no row loops."""
+    target = _cached_schema(schema_json)
+    if renames:
+        new_names = [renames.get(n, n) for n in t.column_names]
+        if new_names != t.column_names:
+            t = t.rename_columns(new_names)
+    arrays: list[Any] = []
+    fields: list[pa.Field] = []
+    for name in want:
+        fld = target.field(name)
+        idx = t.schema.get_field_index(name)
+        if idx >= 0:
+            col = t.column(idx)
+            if col.type != fld.type:
+                col = pc.cast(col, fld.type)
+        elif defaults.get(name) is not None:
+            col = pa.repeat(pa.scalar(defaults[name], fld.type), len(t))
+        else:
+            col = pa.nulls(len(t), fld.type)
+        arrays.append(col)
+        fields.append(fld)
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+_PRED_OPS = {
+    "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+    ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _apply_predicate_batch(t: pa.Table, *, predicate: list) -> pa.Table:
+    """Batch-side predicate evaluation for terms that could not be pushed
+    into the parquet read (e.g. columns synthesized by schema evolution)."""
+    mask = None
+    for col, op, val in predicate:
+        c = t[col]
+        e = (pc.is_in(c, value_set=pa.array(list(val))) if op == "in"
+             else _PRED_OPS[op](c, val))
+        mask = e if mask is None else pc.and_kleene(mask, e)
+    return t.filter(mask) if mask is not None else t
 
 
 def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[DataFile]:
@@ -132,14 +190,22 @@ def predicate_to_expr(predicate: Predicate | None):
 
 @ray.remote
 def _compact_bin(
-    abs_in: list[str], abs_out: str, stats_cols: tuple[str, ...]
+    abs_in: list[str],
+    abs_out: str,
+    stats_cols: tuple[str, ...],
+    reconcile: dict | None = None,
 ) -> tuple[int, int, dict]:
     """One compaction bin: read N small files, write 1 target-size file.
 
     Row-group size follows the file (one file ~= one block downstream);
-    zstd keeps the rewrite IO-bound rather than storage-bound.
+    zstd keeps the rewrite IO-bound rather than storage-bound.  With a
+    schema-evolution ``reconcile`` spec, each input is upgraded to the
+    evolved schema before the merge — compaction physically materializes
+    the evolution, so the table converges back to uniform files.
     """
     tables = [pq.read_table(p) for p in abs_in]
+    if reconcile is not None:
+        tables = [_reconcile_batch(t, **reconcile) for t in tables]
     merged = pa.concat_tables(tables, promote_options="permissive")
     # 128k-row groups: a compacted file must stay splittable into parallel
     # read blocks for downstream sorts/scans (1 row group = 1 block floor)
@@ -391,8 +457,10 @@ class LakeTable:
     def _commit_file_schema(self, files: list[DataFile]) -> str | None:
         """schema_json for a maintenance commit: partitioned tables inherit
         the parent snapshot's schema (files lack the partition columns), flat
-        tables use the first written file's schema."""
-        if self.partition_cols:
+        tables use the first written file's schema.  Evolved tables always
+        inherit — a rewrite of pre-evolution files must not reset the table
+        schema to the old physical shape."""
+        if self.partition_cols or self._evolution() is not None:
             return None  # commit() inherits head.schema_json
         return self._file_schema(files)
 
@@ -410,10 +478,13 @@ class LakeTable:
     ) -> Snapshot:
         schema = self._data_schema(data) if self.partition_cols else None
         added = self._write_dataset(data, max_rows_per_file=max_rows_per_file)
-        return self.store.commit(
-            added, [], operation, run_ts,
-            schema_json=_schema_to_json(schema) if schema else self._file_schema(added),
-        )
+        if self._evolution() is not None:
+            schema_json = None  # inherit the evolved schema (scan reconciles)
+        elif schema is not None:
+            schema_json = _schema_to_json(schema)
+        else:
+            schema_json = self._file_schema(added)
+        return self.store.commit(added, [], operation, run_ts, schema_json=schema_json)
 
     def add_files(
         self, paths: Iterable[str], run_ts: str = "1970-01-01T00:00:00"
@@ -441,7 +512,155 @@ class LakeTable:
         return self.store.commit(
             added, removed, "overwrite", run_ts,
             schema_json=_schema_to_json(schema) if schema else self._file_schema(added),
+            # a full replace leaves no pre-evolution files: clear the spec
+            # (empty dict beats inheritance; _evolution treats it as none)
+            summary={"evolution": {}},
         )
+
+    # ------------------------------------------------------------ evolution
+
+    def evolve_schema(
+        self,
+        add: dict[str, Any] | None = None,
+        rename: dict[str, str] | None = None,
+        widen: dict[str, pa.DataType] | None = None,
+        run_ts: str = "1970-01-01T00:00:00",
+    ) -> Snapshot:
+        """Metadata-only schema evolution (Iceberg-style, generalizing the
+        reference's side-channel DDL edits, ``silver_digit_clean.py:131-235``,
+        which rewrote the Glue Catalog but could never reconcile old files):
+        add columns (``{name: dtype}`` or ``{name: (dtype, default)}``),
+        rename (``{old: new}``), and widen types — WITHOUT rewriting a single
+        data file.  The cumulative spec (renames + defaults) rides on the
+        snapshot chain; scans reconcile pre-evolution files on the fly
+        (rename / default-fill / cast per batch) and :meth:`compact`
+        physically upgrades them.  Time travel to a pre-evolution snapshot
+        sees the old schema, spec-free.  Defaults must be JSON-serializable
+        scalars.  Flat tables only (Hive layout couples directories to the
+        physical schema)."""
+        if self.partition_cols:
+            raise NotImplementedError(
+                "schema evolution is not supported on Hive-partitioned tables"
+            )
+        head = self.store.head()
+        if head is None or head.schema_json is None:
+            raise ValueError("cannot evolve an empty table (no schema yet)")
+        schema = _schema_from_json(head.schema_json)
+        prev = (head.summary or {}).get("evolution") or {}
+        renames = dict(prev.get("renames") or {})
+        defaults = dict(prev.get("defaults") or {})
+        fields = list(schema)
+        names = [f.name for f in fields]
+        for old, new in (rename or {}).items():
+            if old not in names:
+                raise KeyError(f"rename source {old!r} not in schema")
+            if new in names:
+                raise ValueError(f"rename target {new!r} already exists")
+            i = names.index(old)
+            fields[i] = pa.field(new, fields[i].type)
+            names[i] = new
+            for k, v in list(renames.items()):  # chain a->b, b->c into a->c
+                if v == old:
+                    renames[k] = new
+            renames[old] = new
+            if old in defaults:
+                defaults[new] = defaults.pop(old)
+        for col, new_type in (widen or {}).items():
+            if col not in names:
+                raise KeyError(f"widen target {col!r} not in schema")
+            i = names.index(col)
+            fields[i] = pa.field(col, new_type)
+        for col, spec in (add or {}).items():
+            if col in names:
+                raise ValueError(f"added column {col!r} already exists")
+            dtype, default = spec if isinstance(spec, tuple) else (spec, None)
+            if default is not None:
+                pa.scalar(default, dtype)  # validate early
+                json.dumps(default)
+                defaults[col] = default
+            fields.append(pa.field(col, dtype))
+            names.append(col)
+        return self.store.commit(
+            [], [], "evolve-schema", run_ts,
+            summary={
+                "evolution": {"renames": renames, "defaults": defaults},
+                "added_cols": sorted(add or {}),
+                "renamed_cols": dict(rename or {}),
+                "widened_cols": {k: str(v) for k, v in (widen or {}).items()},
+            },
+            schema_json=_schema_to_json(pa.schema(fields)),
+        )
+
+    def _evolution(
+        self, snapshot_id: int | None = None
+    ) -> tuple[dict, str] | None:
+        """(spec, schema_json) of the given/head snapshot, or None if the
+        table has never evolved as of that snapshot."""
+        snap = (self.store.head() if snapshot_id is None
+                else self.store.snapshot(snapshot_id))
+        if snap is not None and (snap.summary or {}).get("evolution"):
+            return snap.summary["evolution"], snap.schema_json
+        return None
+
+    def _read_files_evolved(
+        self,
+        files: list[DataFile],
+        columns: list[str] | None,
+        predicate: "Predicate | None",
+        spec: dict,
+        schema_json: str,
+        **read_kwargs,
+    ) -> "ray.data.Dataset":
+        """Evolution-aware read: files are grouped by commit directory (all
+        files of one commit share a physical schema — one footer read per
+        DIR on the driver, not per file), each group reads only the physical
+        columns backing the requested logical ones with the pushable subset
+        of the predicate, and a reconcile map_batches renames / default-fills
+        / casts to the evolved schema.  Predicate terms over columns a group
+        lacks (added columns) are applied post-reconcile."""
+        renames = dict(spec.get("renames") or {})
+        defaults = dict(spec.get("defaults") or {})
+        inv = {new: old for old, new in renames.items()}
+        target = _cached_schema(schema_json)
+        want = list(columns) if columns is not None else list(target.names)
+        dirs: dict[str, list[DataFile]] = {}
+        for f in files:
+            dirs.setdefault(os.path.dirname(f.path), []).append(f)
+        parts: list[ray.data.Dataset] = []
+        dropped_pred = False
+        for _d, fs in sorted(dirs.items()):
+            phys = set(pq.read_schema(self.abs(fs[0].path)).names)
+            read_cols = [c if c in phys else inv[c] for c in want
+                         if c in phys or inv.get(c) in phys]
+            sub_pred = []
+            for col, op, val in predicate or []:
+                p = col if col in phys else inv.get(col)
+                if p in phys:
+                    sub_pred.append((p, op, val))
+                else:
+                    dropped_pred = True
+            ds = ray.data.read_parquet(
+                [self.abs(f.path) for f in fs],
+                # a group backing none of the requested columns still needs
+                # row counts for default-fill: read its narrowest column
+                columns=read_cols or sorted(phys)[:1],
+                filter=predicate_to_expr(sub_pred or None),
+                **read_kwargs,
+            ).map_batches(
+                _reconcile_batch,
+                fn_kwargs={"schema_json": schema_json, "renames": renames,
+                           "defaults": defaults, "want": tuple(want)},
+                batch_format="pyarrow",
+            )
+            parts.append(ds)
+        out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        if dropped_pred and predicate:
+            out = out.map_batches(
+                _apply_predicate_batch,
+                fn_kwargs={"predicate": list(predicate)},
+                batch_format="pyarrow",
+            )
+        return out
 
     # ------------------------------------------------------------ read
 
@@ -454,12 +673,24 @@ class LakeTable:
         files: list[DataFile],
         columns: list[str] | None = None,
         predicate: Predicate | None = None,
+        evolution: "tuple[dict, str] | None | str" = "auto",
         **read_kwargs,
     ) -> "ray.data.Dataset":
         """Dataset over an explicit file list, partition-aware: Hive-written
         files lack the partition columns, so each partition group is read
         separately and its manifest values re-attached as constant columns
-        (union of groups; pruning usually leaves few groups)."""
+        (union of groups; pruning usually leaves few groups).
+
+        ``evolution="auto"`` resolves the HEAD snapshot's schema-evolution
+        spec (maintenance ops operate on HEAD); ``scan`` passes the spec of
+        the snapshot actually being read so time travel stays exact."""
+        if evolution == "auto":
+            evolution = self._evolution()
+        if evolution is not None:
+            spec, schema_json = evolution
+            return self._read_files_evolved(
+                files, columns, predicate, spec, schema_json, **read_kwargs
+            )
         if not any(f.partition for f in files):
             return ray.data.read_parquet(
                 [self.abs(f.path) for f in files],
@@ -538,22 +769,36 @@ class LakeTable:
                     ]
                 )
             return ray.data.from_arrow(schema.empty_table())
-        return self._read_files(files, columns=columns, predicate=predicate, **read_kwargs)
+        return self._read_files(
+            files, columns=columns, predicate=predicate,
+            evolution=self._evolution(snapshot_id), **read_kwargs,
+        )
 
     def to_arrow(self, **kw) -> pa.Table:
         """Whole table as one Arrow table — small tables / tests only."""
-        files = prune_files(self.files(kw.pop("snapshot_id", None)), kw.pop("predicate", None))
+        snap_id = kw.pop("snapshot_id", None)
+        pred = kw.pop("predicate", None)
+        files = prune_files(self.files(snap_id), pred)
         cols = kw.pop("columns", None)
         if not files:
             return (self.schema() or pa.schema([])).empty_table()
-        if any(f.partition for f in files):
+        evo = self._evolution(snap_id)
+        if any(f.partition for f in files) or evo is not None:
             batches = list(
-                self._read_files(files, columns=cols).iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
+                self._read_files(
+                    files, columns=cols, predicate=pred, evolution=evo
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
             )
+            if not batches:  # every row filtered out
+                sch = self.schema() or pa.schema([])
+                if cols:
+                    sch = pa.schema([sch.field(c) for c in cols])
+                return sch.empty_table()
             return pa.concat_tables(batches, promote_options="permissive")
-        return pq.read_table([self.abs(f.path) for f in files], columns=cols)
+        return pq.read_table(
+            [self.abs(f.path) for f in files], columns=cols,
+            filters=predicate_to_expr(pred),
+        )
 
     # ------------------------------------------------------------ compaction
 
@@ -570,6 +815,16 @@ class LakeTable:
         ``predicate`` scopes the rewrite to matching files (per-partition
         compaction at large scale)."""
         files = prune_files(self.files(), predicate)
+        evo = self._evolution()
+        reconcile = None
+        if evo is not None:
+            spec, sjson = evo
+            reconcile = {
+                "schema_json": sjson,
+                "renames": dict(spec.get("renames") or {}),
+                "defaults": dict(spec.get("defaults") or {}),
+                "want": tuple(_cached_schema(sjson).names),
+            }
         # bins never cross partition boundaries, so each output file keeps a
         # single (exact) partition value set in the manifest
         part_groups: dict[tuple, list[DataFile]] = {}
@@ -600,7 +855,8 @@ class LakeTable:
                 continue
             ledger.mark_running(key, in_paths)
             ref = _compact_bin.remote(
-                [self.abs(p) for p in in_paths], self.abs(out_rel), self.stats_cols
+                [self.abs(p) for p in in_paths], self.abs(out_rel),
+                self.stats_cols, reconcile,
             )
             pending.append((key, out_rel, in_paths, part, ref))
 
@@ -1535,6 +1791,97 @@ class LakeTable:
         return res
 
     # ------------------------------------------------------------ verification
+
+    def change_feed(
+        self,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        key_cols: Sequence[str] | None = None,
+    ) -> "ray.data.Dataset":
+        """Change data feed (CDC) between two snapshots: a Dataset of changed
+        rows tagged with a ``_change`` column in {insert, delete, update}.
+
+        The diff is computed from the FILE-level delta (manifests make it
+        O(changed files), never a full-table compare): rows are read only
+        from files added/removed between the snapshots, co-grouped by
+        ``key_cols`` (one hash shuffle over changed rows only), and rewrites
+        that merely move rows between files (compaction, zorder) cancel out
+        — a pure-maintenance delta yields an EMPTY feed.  Per key group:
+        key only in the new side -> insert rows; only in the old side ->
+        delete rows; both sides but differing contents -> the post-image
+        rows tagged update.  Generalizes the reference's
+        full-refresh-overwrite consumers (``silver_digit_clean.py:127``)
+        which re-read entire tables to find what changed."""
+        to_id = to_snapshot if to_snapshot is not None else self.store.head_id()
+        try:
+            snap_a = self.store.snapshot(from_snapshot)
+            snap_b = self.store.snapshot(to_id)
+        except FileNotFoundError as e:
+            raise ValueError(f"unknown snapshot in ({from_snapshot}, {to_id})") from e
+        if snap_a is None or snap_b is None:
+            raise ValueError(f"unknown snapshot in ({from_snapshot}, {to_id})")
+        files_a = {f.path: f for f in self.files(from_snapshot)}
+        files_b = {f.path: f for f in self.files(to_id)}
+        removed = [f for p, f in sorted(files_a.items()) if p not in files_b]
+        added = [f for p, f in sorted(files_b.items()) if p not in files_a]
+        schema = (_schema_from_json(snap_b.schema_json)
+                  if snap_b.schema_json else None)
+        key = list(key_cols) if key_cols else (
+            list(schema.names) if schema is not None else None
+        )
+        if key is None:
+            raise ValueError("key_cols required for a table with no schema")
+        evo_b = self._evolution(to_id)
+
+        def empty() -> "ray.data.Dataset":
+            sch = schema or pa.schema([])
+            sch = sch.append(pa.field("_change", pa.string()))
+            return ray.data.from_arrow(sch.empty_table())
+
+        def tag(ds: "ray.data.Dataset", change: str) -> "ray.data.Dataset":
+            def add(t: pa.Table, _c=change) -> pa.Table:
+                return t.append_column("_change", pa.repeat(pa.scalar(_c), len(t)))
+            return ds.map_batches(add, batch_format="pyarrow")
+
+        if not removed and not added:
+            return empty()
+        if not removed:  # append-only delta: every new-file row is an insert
+            return tag(self._read_files(added, evolution=evo_b), "insert")
+        if not added:
+            return tag(self._read_files(removed, evolution=evo_b), "delete")
+
+        def side(ds: "ray.data.Dataset", s: int) -> "ray.data.Dataset":
+            def add(t: pa.Table, _s=s) -> pa.Table:
+                return t.append_column(
+                    "__side", pa.repeat(pa.scalar(_s, pa.int8()), len(t)))
+            return ds.map_batches(add, batch_format="pyarrow")
+
+        both = side(self._read_files(removed, evolution=evo_b), 0).union(
+            side(self._read_files(added, evolution=evo_b), 1)
+        )
+        data_cols = [c for c in (schema.names if schema else key)]
+
+        def diff_group(t: pa.Table, _key=tuple(key), _cols=tuple(data_cols)) -> pa.Table:
+            from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+
+            s = np.asarray(t["__side"])
+            body = t.drop_columns(["__side"])
+            out_schema = body.schema.append(pa.field("_change", pa.string()))
+            a, b = body.filter(pa.array(s == 0)), body.filter(pa.array(s == 1))
+            if len(a) == 0:
+                res, change = b, "insert"
+            elif len(b) == 0:
+                res, change = a, "delete"
+            else:
+                ha = np.sort(hash_batch_cols(a, _cols))
+                hb = np.sort(hash_batch_cols(b, _cols))
+                if len(ha) == len(hb) and bool((ha == hb).all()):
+                    return out_schema.empty_table()  # pure rewrite, cancels
+                res, change = b, "update"  # post-image
+            return res.append_column(
+                "_change", pa.repeat(pa.scalar(change), len(res)))
+
+        return both.groupby(key).map_groups(diff_group, batch_format="pyarrow")
 
     def content_checksum(self, cols: Sequence[str], snapshot_id: int | None = None) -> int:
         """Distributed order-insensitive checksum: per-batch row-hash sums

@@ -1,0 +1,120 @@
+"""Change data feed: row-level diff between snapshots from the file-level
+manifest delta — pure maintenance cancels, merges surface as updates."""
+
+import collections
+
+import pyarrow as pa
+import pytest
+
+from aws_medallion_datalake_ray.sources.fixtures import make_source_files, make_updates
+from aws_medallion_datalake_ray.state.table import LakeTable
+
+TS = "2024-01-01T00:00:00"
+KEY = ("repo", "path", "commit")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    t = LakeTable.create(str(tmp_path / "tbl"))
+    base = make_source_files(300, seed=21)
+    t.append(base.slice(0, 150), run_ts=TS)
+    t.append(base.slice(150, 150), run_ts=TS)
+    return t
+
+
+def _feed(t, a, b=None, key=KEY):
+    df = t.change_feed(a, b, key_cols=key).to_pandas()
+    return df, collections.Counter(df.get("_change", []))
+
+
+def test_append_only_is_all_inserts(table):
+    s1 = table.store.head().snapshot_id
+    table.append(make_source_files(40, seed=77), run_ts=TS)
+    df, counts = _feed(table, s1)
+    assert counts == {"insert": 40}
+
+
+def test_compaction_yields_empty_feed(table):
+    s1 = table.store.head().snapshot_id
+    table.compact(target_file_bytes=64 * 1024 * 1024, run_ts=TS)
+    df, counts = _feed(table, s1)
+    assert len(df) == 0
+
+
+def test_zorder_yields_empty_feed(table):
+    s1 = table.store.head().snapshot_id
+    table.zorder(["repo", "lang", "path"], run_ts=TS)
+    df, counts = _feed(table, s1)
+    assert len(df) == 0
+
+
+def test_merge_surfaces_updates(table):
+    base = table.to_arrow(columns=["repo", "path", "commit", "lang", "content"])
+    s1 = table.store.head().snapshot_id
+    upd = make_updates(base, 30, seed=9)
+    res = table.merge(upd, run_ts="2024-01-02T00:00:00")
+    df, counts = _feed(table, s1)
+    # expected delta computed independently: an update row that is an EXACT
+    # duplicate of a base row (make_updates' idempotent ~10%) must cancel;
+    # rows merely co-located in rewritten files cancel too
+    base_keys = set(zip(base["repo"].to_pylist(), base["path"].to_pylist(),
+                        base["commit"].to_pylist()))
+    base_rows = {tuple(r.values()) for r in base.to_pylist()}
+    exp_ins = exp_upd = 0
+    seen = set()
+    for r in upd.to_pylist():
+        k = (r["repo"], r["path"], r["commit"])
+        if k in seen:
+            continue
+        seen.add(k)
+        if k not in base_keys:
+            exp_ins += 1
+        elif tuple(r.values()) not in base_rows:
+            exp_upd += 1
+    assert counts.get("insert", 0) == exp_ins
+    assert counts.get("update", 0) == exp_upd
+    assert res["updates"] == len(seen)
+    assert counts.get("delete", 0) == 0
+
+
+def test_same_key_new_content_is_update(table):
+    base = table.to_arrow(columns=["repo", "path", "commit", "lang", "content"])
+    s1 = table.store.head().snapshot_id
+    upd = base.slice(0, 5).set_column(
+        4, "content",
+        pa.array([f"rewritten body {i}\n" for i in range(5)], pa.large_string()),
+    )
+    table.merge(upd, run_ts="2024-01-02T00:00:00")
+    df, counts = _feed(table, s1)
+    assert counts == {"update": 5}
+    assert sorted(df["content"]) == sorted(upd["content"].to_pylist())
+    # post-image rows carry the NEW content
+    upd_map = {}
+    for r in upd.to_pylist():
+        upd_map[(r["repo"], r["path"], r["commit"])] = r["content"]
+    changed = df[df["_change"] == "update"]
+    for _, row in changed.iterrows():
+        assert row["content"] == upd_map[(row["repo"], row["path"], row["commit"])]
+
+
+def test_delete_surfaces_deletes(table):
+    s1 = table.store.head().snapshot_id
+    got = table.to_arrow(columns=["repo", "path", "commit"]).slice(0, 25)
+    victims = ["\x1f".join(v) for v in zip(got["repo"].to_pylist(),
+                                           got["path"].to_pylist(),
+                                           got["commit"].to_pylist())]
+    table.delete_keys(victims, run_ts="2024-01-02T00:00:00")
+    df, counts = _feed(table, s1)
+    assert counts.get("delete", 0) == 25
+    assert counts.get("insert", 0) == 0
+
+
+def test_identical_snapshots_empty(table):
+    s1 = table.store.head().snapshot_id
+    df, counts = _feed(table, s1, s1)
+    assert len(df) == 0
+
+
+def test_unknown_snapshot_raises(table):
+    with pytest.raises(ValueError):
+        table.change_feed(9999)

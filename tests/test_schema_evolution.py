@@ -1,0 +1,138 @@
+"""Schema evolution: metadata-only add/rename/widen with on-the-fly scan
+reconciliation, physical upgrade via compact, and exact time travel."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aws_medallion_datalake_ray.sources.fixtures import make_source_files
+from aws_medallion_datalake_ray.state.table import LakeTable
+
+TS = "2024-01-01T00:00:00"
+
+
+@pytest.fixture()
+def table(tmp_path):
+    t = LakeTable.create(str(tmp_path / "tbl"))
+    base = make_source_files(300, seed=11)
+    t.append(base.slice(0, 150), run_ts=TS)
+    t.append(base.slice(150, 150), run_ts=TS)
+    return t
+
+
+def test_add_column_with_default(table):
+    pre = table.store.head().snapshot_id
+    table.evolve_schema(add={"stars": (pa.int64(), 0)}, run_ts=TS)
+    got = table.to_arrow()
+    assert "stars" in got.column_names
+    assert got["stars"].null_count == 0
+    assert set(got["stars"].to_pylist()) == {0}
+    # time travel to the pre-evolution snapshot sees the old schema
+    old = table.to_arrow(snapshot_id=pre)
+    assert "stars" not in old.column_names
+
+
+def test_add_column_null_default(table):
+    table.evolve_schema(add={"notes": pa.string()}, run_ts=TS)
+    got = table.to_arrow()
+    assert got["notes"].null_count == len(got)
+
+
+def test_rename_column_and_scan(table):
+    n_py = len(table.to_arrow(predicate=[("lang", "==", "py")]))
+    table.evolve_schema(rename={"lang": "language"}, run_ts=TS)
+    got = table.to_arrow(columns=["language", "repo"])
+    assert got.column_names == ["language", "repo"]
+    # predicate on the NEW name over OLD files (physical pushdown translated)
+    assert len(table.to_arrow(predicate=[("language", "==", "py")])) == n_py
+
+
+def test_chained_rename(table):
+    table.evolve_schema(rename={"lang": "language"}, run_ts=TS)
+    table.evolve_schema(rename={"language": "lingua"}, run_ts=TS)
+    spec = table.store.head().summary["evolution"]
+    assert spec["renames"]["lang"] == "lingua"
+    assert spec["renames"]["language"] == "lingua"
+    assert "lingua" in table.to_arrow().column_names
+
+
+def test_widen_type(tmp_path):
+    t = LakeTable.create(str(tmp_path / "w"), stats_cols=("k",))
+    t.append(pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                       "v": ["a", "b", "c"]}), run_ts=TS)
+    t.evolve_schema(widen={"k": pa.int64()}, run_ts=TS)
+    got = t.to_arrow()
+    assert got.schema.field("k").type == pa.int64()
+    assert got["k"].to_pylist() == [1, 2, 3]
+
+
+def test_predicate_on_added_column_post_filter(table):
+    n = len(table.to_arrow())
+    table.evolve_schema(add={"stars": (pa.int64(), 0)}, run_ts=TS)
+    assert len(table.to_arrow(predicate=[("stars", "==", 0)])) == n
+    assert len(table.to_arrow(predicate=[("stars", ">", 0)])) == 0
+    # conjunction mixing pushable and synthesized terms
+    n_py = len(table.to_arrow(predicate=[("lang", "==", "py")]))
+    assert len(table.to_arrow(
+        predicate=[("lang", "==", "py"), ("stars", "==", 0)])) == n_py
+
+
+def test_compact_materializes_evolution(table):
+    table.evolve_schema(add={"stars": (pa.int64(), 7)},
+                        rename={"lang": "language"}, run_ts=TS)
+    fp_before = table.content_fingerprint(("repo", "path", "language", "stars"))
+    table.compact(target_file_bytes=64 * 1024 * 1024, run_ts=TS)
+    fp_after = table.content_fingerprint(("repo", "path", "language", "stars"))
+    assert fp_before == fp_after
+    # compacted files physically carry the evolved schema
+    f = table.files()[0]
+    phys = pq.read_schema(table.abs(f.path))
+    assert "stars" in phys.names and "language" in phys.names
+    assert "lang" not in phys.names
+
+
+def test_append_old_shape_after_evolve(table):
+    """Writers lagging behind the evolution keep working: their files are
+    reconciled at scan like any pre-evolution file."""
+    table.evolve_schema(add={"stars": (pa.int64(), 0)}, run_ts=TS)
+    table.append(make_source_files(50, seed=99), run_ts=TS)
+    got = table.to_arrow()
+    assert len(got) == 350
+    assert got["stars"].null_count == 0
+    sch = table.schema()
+    assert "stars" in sch.names
+
+
+def test_merge_after_evolution(table):
+    from aws_medallion_datalake_ray.sources.fixtures import make_updates
+
+    base = table.to_arrow(columns=["repo", "path", "commit", "lang", "content"])
+    table.evolve_schema(add={"stars": (pa.int64(), 0)}, run_ts=TS)
+    upd_old_shape = make_updates(base, 40, seed=3)
+    # updates conform to the evolved schema (stars present)
+    upd = upd_old_shape.append_column(
+        "stars", pa.array([1] * len(upd_old_shape), pa.int64()))
+    res = table.merge(upd, run_ts="2024-01-02T00:00:00")
+    n_keys = len(set(zip(upd["repo"].to_pylist(), upd["path"].to_pylist(),
+                         upd["commit"].to_pylist())))
+    assert res["updates"] == n_keys  # merge keeps the latest per key
+    got = table.to_arrow()
+    assert len(got) >= 300
+    assert set(got["stars"].to_pylist()) == {0, 1}
+
+
+def test_evolution_rejected_on_partitioned(tmp_path):
+    t = LakeTable.create(str(tmp_path / "p"), partition_cols=("lang",))
+    t.append(make_source_files(50, seed=1), run_ts=TS)
+    with pytest.raises(NotImplementedError):
+        t.evolve_schema(add={"x": pa.int64()}, run_ts=TS)
+
+
+def test_overwrite_clears_spec(table):
+    table.evolve_schema(add={"stars": (pa.int64(), 0)}, run_ts=TS)
+    assert table._evolution() is not None
+    table.overwrite(make_source_files(30, seed=5), run_ts=TS)
+    assert table._evolution() is None
+    assert "stars" not in table.to_arrow().column_names
