@@ -215,6 +215,26 @@ def demo_change_feed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
+    sketch state is a constant 4 KiB per block regardless of cardinality
+    (the O(1)-driver counterpart of q06's exact distinct)."""
+    from aws_medallion_datalake_ray.functions.sketches import approx_distinct
+
+    rows = []
+    for tbl, col in (("orders", "o_custkey"), ("lineitem", "l_partkey"),
+                     ("events", "user_id")):
+        ds = ray.data.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[col])
+        est = approx_distinct(ds, (col,))
+        exact = ds.unique(col)
+        n = len(exact)
+        rows.append({"table": tbl, "column": col, "exact": n, "approx": est,
+                     "rel_err_pct": round(abs(est - n) / max(n, 1) * 100, 2)})
+    out = pd.DataFrame(rows)
+    out["within_3pct"] = out["rel_err_pct"] < 3.0
+    return out
+
+
 def demo_medallion(sf_dir: str) -> pd.DataFrame:
     """Bronze→silver→gold promotion over source_files; returns the gold
     lang_summary (counts deterministic; float avg dropped)."""
@@ -511,6 +531,7 @@ DEMO_QUERIES = {
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,
+    "t07_hll_distinct": demo_hll_distinct,
     "t02_simhash": demo_simhash,
     "t03_text_analysis": demo_text_analysis,
     "t04_fingerprints": demo_fingerprints,

@@ -1471,6 +1471,48 @@ def q42_sequence_packing(sf_dir: str) -> pd.DataFrame:
     return hist.sort_values("docs_in_seq").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q43
+
+
+def q43_pivot_segment_year(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (segment x order-year revenue matrix): the distributed part is
+    ONE finest-grain groupby with in-batch combiners; the reshape to wide
+    columns happens on the tiny (segment x year) result — pivot never needs
+    its own shuffle.  Column set is data-driven and sorted for determinism."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+
+    def partial(t: pa.Table, ref=seg_ref) -> pa.Table:
+        seg_map = ray.get(ref)
+        seg = pd.Series(t["o_custkey"].to_pandas()).map(seg_map)
+        yr = t["o_orderdate"].to_pandas().dt.year.to_numpy(np.int32)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return (
+            pa.table({"segment": pa.array(seg, pa.string()),
+                      "ano": pa.array(yr), "p_c": cents})
+            .group_by(["segment", "ano"])
+            .aggregate([("p_c", "sum")])
+            .rename_columns(["segment", "ano", "p_c"])
+        )
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "ano"])
+        .aggregate(Sum("p_c", alias_name="c"))
+        .to_pandas()
+    )
+    wide = agg.pivot_table(index="segment", columns="ano", values="c",
+                           aggfunc="sum", fill_value=0)
+    out = pd.DataFrame({"segment": wide.index})
+    for y in sorted(wide.columns):
+        out[f"rev_{y}"] = (wide[y].to_numpy() / 100.0).round(2)
+    return out.sort_values("segment").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -1853,6 +1895,23 @@ ORACLE_SQL: dict[str, str] = {
         WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0
         GROUP BY lang ORDER BY lang
     """,
+    "q43_pivot_segment_year": """
+        -- static conditional-aggregation pivot; the order years span exactly
+        -- 1995-2001 at every sf tier (fixture generator invariant)
+        SELECT c.c_mktsegment AS segment,
+               round(sum(CASE WHEN year(o_orderdate)=1995 THEN c2 ELSE 0 END)/100.0,2) AS rev_1995,
+               round(sum(CASE WHEN year(o_orderdate)=1996 THEN c2 ELSE 0 END)/100.0,2) AS rev_1996,
+               round(sum(CASE WHEN year(o_orderdate)=1997 THEN c2 ELSE 0 END)/100.0,2) AS rev_1997,
+               round(sum(CASE WHEN year(o_orderdate)=1998 THEN c2 ELSE 0 END)/100.0,2) AS rev_1998,
+               round(sum(CASE WHEN year(o_orderdate)=1999 THEN c2 ELSE 0 END)/100.0,2) AS rev_1999,
+               round(sum(CASE WHEN year(o_orderdate)=2000 THEN c2 ELSE 0 END)/100.0,2) AS rev_2000,
+               round(sum(CASE WHEN year(o_orderdate)=2001 THEN c2 ELSE 0 END)/100.0,2) AS rev_2001
+        FROM (SELECT o_custkey, o_orderdate,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c2
+              FROM orders) o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
     "q42_sequence_packing": """
         -- sequence packing by global char offset: doc joins sequence
         -- floor(start_offset / 4096); output = docs-per-sequence histogram
@@ -1948,4 +2007,5 @@ SQL_QUERIES = {
     "q40_expensive_parts_by_brand": q40_expensive_parts_by_brand,
     "q41_hash_sample": q41_hash_sample,
     "q42_sequence_packing": q42_sequence_packing,
+    "q43_pivot_segment_year": q43_pivot_segment_year,
 }

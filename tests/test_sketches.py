@@ -1,0 +1,58 @@
+"""HyperLogLog approximate-distinct: accuracy, exact mergeability, and the
+Dataset aggregate plan."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+from aws_medallion_datalake_ray.functions.sketches import (
+    approx_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_update,
+    hll_zero,
+)
+
+
+def _hashes(vals) -> np.ndarray:
+    return hash_batch_cols(pa.table({"v": pa.array(vals)}), ("v",))
+
+
+@pytest.mark.parametrize("n", [50, 1000, 50_000])
+def test_hll_accuracy(n):
+    est = hll_estimate(hll_update(hll_zero(), _hashes([f"v{i}" for i in range(n)])))
+    assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_duplicates_do_not_inflate(ray_session):
+    vals = [f"v{i % 500}" for i in range(20_000)]
+    est = hll_estimate(hll_update(hll_zero(), _hashes(vals)))
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_hll_merge_equals_union():
+    a = hll_update(hll_zero(), _hashes([f"a{i}" for i in range(3000)]))
+    b = hll_update(hll_zero(), _hashes([f"b{i}" for i in range(3000)]))
+    u = hll_update(hll_zero(), _hashes([f"a{i}" for i in range(3000)]
+                                       + [f"b{i}" for i in range(3000)]))
+    assert np.array_equal(hll_merge(a, b), u)  # register-max is EXACTLY union
+
+
+def test_hll_bitlength_edge_values():
+    # values near 2^63 are exactly where float log2 misreports bit positions
+    from aws_medallion_datalake_ray.functions.sketches import _bit_length_u64
+
+    v = np.array([0, 1, 2, (1 << 63) - 1, 1 << 63, (1 << 64) - 1], dtype=np.uint64)
+    assert _bit_length_u64(v).tolist() == [0, 1, 2, 63, 64, 64]
+
+
+def test_approx_distinct_dataset(ray_session):
+    n = 20_000
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([f"key-{i % 7000}" for i in range(n)])})
+    ).repartition(8)
+    est = approx_distinct(ds, ("k",))
+    assert abs(est - 7000) / 7000 < 0.03
