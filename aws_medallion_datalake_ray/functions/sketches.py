@@ -101,3 +101,65 @@ def approx_distinct(ds, cols: tuple[str, ...]) -> int:
     pass, tree-combined 4 KiB states, O(1) driver memory."""
     regs = ds.aggregate(approx_distinct_aggregate(tuple(cols)))["approx_distinct"]
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """Mergeable Misra-Gries summaries (Agarwal et al. 2012, public result):
+    sum shared counters, then decrement everything by the (k+1)-th largest
+    and drop non-positives — the merged summary keeps the deterministic
+    guarantee ``true_freq - n/k <= count <= true_freq`` over the COMBINED
+    stream.  State is <= k counters no matter how many blocks merge."""
+    out = dict(a)
+    for key, c in b.items():
+        out[key] = out.get(key, 0) + c
+    if len(out) > k:
+        counts = np.sort(np.fromiter(out.values(), dtype=np.int64))
+        cut = int(counts[-(k + 1)])
+        out = {key: c - cut for key, c in out.items() if c > cut}
+    return out
+
+
+def mg_from_counts(keys, counts, k: int) -> dict:
+    d = dict(zip(keys, (int(c) for c in counts)))
+    return mg_merge(d, {}, k) if len(d) > k else d
+
+
+def heavy_hitters_aggregate(col: str, k: int = 64):
+    """AggregateFnV2 tracking the ~k most frequent values of ``col`` with
+    bounded state: per-block exact value_counts (Arrow) collapse to a k-entry
+    Misra-Gries summary, merged pairwise.  Every value with true frequency
+    > n/k is GUARANTEED present in the final summary — exactly what hot-key
+    detection for salted shuffles needs (SURVEY §7.5 #4: zipf ``repo``)."""
+    from ray.data.aggregate import AggregateFnV2
+
+    class HeavyHitters(AggregateFnV2):
+        def __init__(self):
+            super().__init__(
+                name="heavy_hitters", zero_factory=dict,
+                on=None, ignore_nulls=True,
+            )
+
+        def aggregate_block(self, block):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            vc = pa.chunked_array([tbl[col]]).combine_chunks().value_counts()
+            return mg_from_counts(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist(), k
+            )
+
+        def combine(self, a, b):
+            return mg_merge(a, b, k)
+
+    return HeavyHitters()
+
+
+def hot_keys(ds, col: str, k: int = 64, min_share: float = 0.0) -> list[tuple]:
+    """(value, lower-bound count) list sorted descending — candidates for
+    shuffle salting.  ``min_share`` filters to values whose count bound
+    exceeds that fraction of the scanned rows."""
+    summary = ds.aggregate(heavy_hitters_aggregate(col, k))["heavy_hitters"]
+    total = sum(summary.values()) or 1
+    out = [(v, c) for v, c in summary.items() if c / total >= min_share]
+    return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))

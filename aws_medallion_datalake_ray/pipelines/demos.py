@@ -215,6 +215,84 @@ def demo_change_feed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_incremental_view(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance from the change feed: a per-lang
+    (n_rows, sum_chars) view is updated by applying ONLY the CDC delta
+    (insert +, delete -, update = retract preimage + apply postimage) and
+    must equal a full recompute — the delta pass touches O(changed rows),
+    not the table."""
+    import pyarrow.compute as pc
+
+    def view(t: LakeTable) -> pd.DataFrame:
+        def partial(b: pa.Table) -> pa.Table:
+            return (
+                pa.table({"lang": b["lang"],
+                          "n": pa.array(np.ones(len(b), np.int64)),
+                          "ch": pc.cast(pc.utf8_length(b["content"]), pa.int64())})
+                .group_by("lang").aggregate([("n", "sum"), ("ch", "sum")])
+                .rename_columns(["lang", "n", "ch"])
+            )
+        from ray.data.aggregate import Sum
+        return (
+            t.scan(columns=["lang", "content"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n"),
+                                       Sum("ch", alias_name="ch"))
+            .to_pandas().set_index("lang").sort_index()
+        )
+
+    t, base = _fresh_table(sf_dir, "ivm")
+    s1 = t.store.head_id()
+    v1 = view(t)
+
+    # a merge (inserts + in-place rewrites) and a delete
+    upd = make_updates(base, 150, seed=13)
+    rewrite = base.slice(0, 40).set_column(
+        base.column_names.index("content"), "content",
+        pa.array([f"# ivm rewrite {i}\n" for i in range(40)],
+                 base.schema.field("content").type),
+    )
+    t.merge(upd, run_ts="2024-01-02T00:00:00")
+    t.merge(rewrite, run_ts="2024-01-02T00:00:01")
+    got = t.to_arrow(columns=["repo", "path", "commit"]).slice(100, 30)
+    victims = ["\x1f".join(v) for v in zip(got["repo"].to_pylist(),
+                                           got["path"].to_pylist(),
+                                           got["commit"].to_pylist())]
+    t.delete_keys(victims, run_ts="2024-01-02T00:00:02")
+
+    # distributed delta rollup over the feed only
+    feed = t.change_feed(s1, key_cols=FP_COLS[:3], include_preimages=True)
+
+    def delta(b: pa.Table) -> pa.Table:
+        sign = pc.if_else(
+            pc.is_in(b["_change"], value_set=pa.array(["insert", "update_postimage"])),
+            pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64()))
+        ch = pc.multiply(pc.cast(pc.utf8_length(b["content"]), pa.int64()), sign)
+        return (
+            pa.table({"lang": b["lang"], "n": sign, "ch": ch})
+            .group_by("lang").aggregate([("n", "sum"), ("ch", "sum")])
+            .rename_columns(["lang", "n", "ch"])
+        )
+
+    from ray.data.aggregate import Sum
+    d = (feed.map_batches(delta, batch_format="pyarrow")
+         .groupby("lang").aggregate(Sum("n", alias_name="n"),
+                                    Sum("ch", alias_name="ch"))
+         .to_pandas().set_index("lang"))
+    v_inc = v1.add(d, fill_value=0).astype("int64")
+    v_inc = v_inc[v_inc["n"] > 0].sort_index()
+    v2 = view(t)
+    return pd.DataFrame(
+        [
+            {
+                "langs": len(v2),
+                "feed_rows": feed.count(),
+                "incremental_equals_recompute": v_inc.equals(v2.astype("int64")),
+            }
+        ]
+    )
+
+
 def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
     sketch state is a constant 4 KiB per block regardless of cardinality
@@ -232,6 +310,31 @@ def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
                      "rel_err_pct": round(abs(est - n) / max(n, 1) * 100, 2)})
     out = pd.DataFrame(rows)
     out["within_3pct"] = out["rel_err_pct"] < 3.0
+    return out
+
+
+def demo_hot_keys(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over the zipf ``repo`` column — the bounded
+    -state hot-key detector that would feed shuffle salting decisions
+    (SURVEY §7.5 #4): every repo above the n/k threshold is guaranteed
+    caught; the top-5 must match the exact counts."""
+    import collections
+
+    from aws_medallion_datalake_ray.functions.sketches import hot_keys
+
+    base = _demo_base(sf_dir)
+    ds = ray.data.from_arrow(base.select(["repo"])).repartition(8)
+    got = hot_keys(ds, "repo", k=64)
+    exact = collections.Counter(base["repo"].to_pylist())
+    top5 = [k for k, _ in got[:5]]
+    exact_top5 = [k for k, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    rows = []
+    for key, bound in got[:5]:
+        rows.append({"repo": key, "count_lower_bound": bound,
+                     "exact": exact[key],
+                     "share_pct": round(exact[key] / len(base) * 100, 2)})
+    out = pd.DataFrame(rows)
+    out["top5_matches_exact"] = top5 == exact_top5
     return out
 
 
@@ -528,10 +631,12 @@ DEMO_QUERIES = {
     "m05_partitioned_table": demo_partitioned_table,
     "m06_schema_evolution": demo_schema_evolution,
     "m07_change_feed": demo_change_feed,
+    "m08_incremental_view": demo_incremental_view,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,
     "t07_hll_distinct": demo_hll_distinct,
+    "t08_hot_keys": demo_hot_keys,
     "t02_simhash": demo_simhash,
     "t03_text_analysis": demo_text_analysis,
     "t04_fingerprints": demo_fingerprints,

@@ -1797,6 +1797,7 @@ class LakeTable:
         from_snapshot: int,
         to_snapshot: int | None = None,
         key_cols: Sequence[str] | None = None,
+        include_preimages: bool = False,
     ) -> "ray.data.Dataset":
         """Change data feed (CDC) between two snapshots: a Dataset of changed
         rows tagged with a ``_change`` column in {insert, delete, update}.
@@ -1809,7 +1810,10 @@ class LakeTable:
         — a pure-maintenance delta yields an EMPTY feed.  Per key group:
         key only in the new side -> insert rows; only in the old side ->
         delete rows; both sides but differing contents -> the post-image
-        rows tagged update.  Generalizes the reference's
+        rows tagged update (with ``include_preimages=True``, BOTH sides are
+        emitted as update_preimage / update_postimage — what a downstream
+        aggregate needs to retract the old contribution and apply the new,
+        i.e. incremental view maintenance).  Generalizes the reference's
         full-refresh-overwrite consumers (``silver_digit_clean.py:127``)
         which re-read entire tables to find what changed."""
         to_id = to_snapshot if to_snapshot is not None else self.store.head_id()
@@ -1861,7 +1865,10 @@ class LakeTable:
         )
         data_cols = [c for c in (schema.names if schema else key)]
 
-        def diff_group(t: pa.Table, _key=tuple(key), _cols=tuple(data_cols)) -> pa.Table:
+        def diff_group(
+            t: pa.Table, _key=tuple(key), _cols=tuple(data_cols),
+            _pre=include_preimages,
+        ) -> pa.Table:
             from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
 
             s = np.asarray(t["__side"])
@@ -1877,7 +1884,14 @@ class LakeTable:
                 hb = np.sort(hash_batch_cols(b, _cols))
                 if len(ha) == len(hb) and bool((ha == hb).all()):
                     return out_schema.empty_table()  # pure rewrite, cancels
-                res, change = b, "update"  # post-image
+                if _pre:
+                    return pa.concat_tables([
+                        a.append_column("_change", pa.repeat(
+                            pa.scalar("update_preimage"), len(a))),
+                        b.append_column("_change", pa.repeat(
+                            pa.scalar("update_postimage"), len(b))),
+                    ])
+                res, change = b, "update"  # post-image only
             return res.append_column(
                 "_change", pa.repeat(pa.scalar(change), len(res)))
 

@@ -109,6 +109,23 @@ def test_delete_surfaces_deletes(table):
     assert counts.get("insert", 0) == 0
 
 
+def test_update_preimages(table):
+    base = table.to_arrow(columns=["repo", "path", "commit", "lang", "content"])
+    s1 = table.store.head().snapshot_id
+    upd = base.slice(0, 5).set_column(
+        4, "content",
+        pa.array([f"pre/post body {i}\n" for i in range(5)], pa.large_string()),
+    )
+    table.merge(upd, run_ts="2024-01-02T00:00:00")
+    df = table.change_feed(s1, key_cols=KEY, include_preimages=True).to_pandas()
+    c = collections.Counter(df["_change"])
+    assert c == {"update_preimage": 5, "update_postimage": 5}
+    pre = set(df[df["_change"] == "update_preimage"]["content"])
+    post = set(df[df["_change"] == "update_postimage"]["content"])
+    assert post == set(upd["content"].to_pylist())
+    assert pre == set(base.slice(0, 5)["content"].to_pylist())
+
+
 def test_identical_snapshots_empty(table):
     s1 = table.store.head().snapshot_id
     df, counts = _feed(table, s1, s1)

@@ -49,6 +49,37 @@ def test_hll_bitlength_edge_values():
     assert _bit_length_u64(v).tolist() == [0, 1, 2, 63, 64, 64]
 
 
+def test_mg_guarantee_on_zipf(ray_session):
+    """Every key with true freq > n/k must appear, with count within n/k of
+    truth — checked on a skewed stream through the Dataset aggregate."""
+    from aws_medallion_datalake_ray.functions.sketches import hot_keys
+
+    rng = np.random.default_rng(5)
+    z = rng.zipf(1.5, 30_000)
+    vals = [f"repo-{v}" for v in np.minimum(z, 500)]
+    ds = ray.data.from_arrow(pa.table({"repo": pa.array(vals)})).repartition(8)
+    k = 32
+    got = dict(hot_keys(ds, "repo", k=k))
+    import collections
+
+    exact = collections.Counter(vals)
+    n = len(vals)
+    for key, freq in exact.items():
+        if freq > n // k:
+            assert key in got, f"heavy hitter {key} ({freq}) missing"
+            assert freq - n // k <= got[key] <= freq
+
+
+def test_mg_merge_bounded_state():
+    from aws_medallion_datalake_ray.functions.sketches import mg_merge
+
+    a = {f"a{i}": i + 1 for i in range(40)}
+    b = {f"b{i}": i + 1 for i in range(40)}
+    m = mg_merge(a, b, 16)
+    assert len(m) <= 16
+    assert all(c > 0 for c in m.values())
+
+
 def test_approx_distinct_dataset(ray_session):
     n = 20_000
     ds = ray.data.from_arrow(
