@@ -82,6 +82,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--cols", default="repo,path,commit,lang,content")
 
+    p = add("evolve-schema")
+    p.add_argument("--table", required=True)
+    p.add_argument("--add", default=None,
+                   help="col:type[:default] pairs, comma-separated (e.g. stars:int64:0)")
+    p.add_argument("--rename", default=None, help="old=new pairs, comma-separated")
+
+    p = add("change-feed")
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-snapshot", type=int, required=True)
+    p.add_argument("--to-snapshot", type=int, default=None)
+    p.add_argument("--key", default="repo,path,commit")
+    p.add_argument("--out", default=None, help="write the feed to this parquet dir")
+
     p = add("pipeline")
     p.add_argument("--input", required=True, help="raw source parquet path/glob")
     p.add_argument("--root", required=True, help="lake root for bronze/silver/gold")
@@ -133,6 +146,37 @@ def main(argv: list[str] | None = None) -> int:
             out["checksum"] = t.content_checksum(cols)
             out["rows"] = sum(f.rows for f in t.files())
             out["files"] = len(t.files())
+        elif args.cmd == "evolve-schema":
+            import pyarrow as _pa
+
+            add_spec: dict = {}
+            for part in filter(None, (args.add or "").split(",")):
+                bits = part.split(":")
+                dtype = _pa.type_for_alias(bits[1])
+                if len(bits) > 2:
+                    default = _pa.scalar(bits[2], dtype).as_py() if not bits[2].lstrip(
+                        "-").isdigit() else int(bits[2])
+                    add_spec[bits[0]] = (dtype, default)
+                else:
+                    add_spec[bits[0]] = dtype
+            ren = dict(p.split("=") for p in filter(None, (args.rename or "").split(",")))
+            snap = _table(args.table).evolve_schema(
+                add=add_spec or None, rename=ren or None, run_ts=args.run_ts)
+            out["snapshot_id"] = snap.snapshot_id
+            out["summary"] = {k: v for k, v in snap.summary.items()
+                              if k.endswith("_cols")}
+        elif args.cmd == "change-feed":
+            feed = _table(args.table).change_feed(
+                args.from_snapshot, args.to_snapshot,
+                key_cols=tuple(args.key.split(",")),
+            )
+            if args.out:
+                feed = feed.materialize()
+                feed.write_parquet(args.out, compression="zstd")
+                out["written_to"] = args.out
+            c = feed.groupby("_change").count().to_pandas()
+            out["changes"] = dict(zip(c["_change"], c["count()"].astype(int))) \
+                if len(c) else {}
         elif args.cmd == "pipeline":
             import ray.data
 

@@ -60,6 +60,27 @@ def hash_batch_cols(batch: pa.Table, cols: list[str] | tuple[str, ...]) -> np.nd
     return hash_cols(*[batch[c] for c in cols])
 
 
+_HASH_KEY2 = "amdlray-2nd-key!"  # independent 16-byte SipHash key
+
+
+def hash_cols_alt(*cols) -> np.ndarray:
+    """Second, independent 64-bit hash of the same columns (different SipHash
+    key) — pairing it with :func:`hash_cols` gives ~128-bit identity for
+    broadcast key-set membership without shipping the key strings."""
+    with np.errstate(over="ignore"):
+        out = pd.util.hash_array(_as_object_array(cols[0]),
+                                 hash_key=_HASH_KEY2, categorize=False)
+        for c in cols[1:]:
+            h = pd.util.hash_array(_as_object_array(c),
+                                   hash_key=_HASH_KEY2, categorize=False)
+            out = out ^ (h + _MIX + (out << np.uint64(6)) + (out >> np.uint64(2)))
+    return out
+
+
+def hash_batch_cols_alt(batch: pa.Table, cols: list[str] | tuple[str, ...]) -> np.ndarray:
+    return hash_cols_alt(*[batch[c] for c in cols])
+
+
 def salted_partition(
     keys: np.ndarray, num_partitions: int, salt: np.ndarray | None = None
 ) -> np.ndarray:

@@ -104,6 +104,16 @@ def _reconcile_batch(
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a nonlinear second checksum so two
+    different multisets cannot match both the raw-hash sum and this one."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 _PRED_OPS = {
     "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
     ">": pc.greater, ">=": pc.greater_equal,
@@ -1854,48 +1864,208 @@ class LakeTable:
         if not added:
             return tag(self._read_files(removed, evolution=evo_b), "delete")
 
+        data_cols = [c for c in (schema.names if schema else key)]
+        # Two-phase plan (default): the compare shuffles only 24 B/row of
+        # hashes — (key-hash pair, content hash, side) — never the content;
+        # the changed-key classification broadcasts back (128-bit identity,
+        # collision odds ~2^-128 x pairs) and a second column-pruned read
+        # emits exactly the changed rows.  With a huge changed set (> 2M
+        # keys) the broadcast is refused and the full-row co-partition plan
+        # below runs instead (same duality as merge / delete_keys).
+        from aws_medallion_datalake_ray.functions.hashing import (
+            hash_batch_cols,
+            hash_batch_cols_alt,
+        )
+
+        P = 64
+
+        def meta_side(files: list[DataFile], s: int) -> "ray.data.Dataset":
+            def m(t: pa.Table, _s=s) -> pa.Table:
+                k1 = hash_batch_cols(t, tuple(key))
+                k2 = hash_batch_cols_alt(t, tuple(key))
+                ch = _splitmix64(hash_batch_cols(t, tuple(data_cols)))
+                return pa.table({
+                    "k1": pa.array(k1), "k2": pa.array(k2), "ch": pa.array(ch),
+                    "s": pa.repeat(pa.scalar(_s, pa.int8()), len(t)),
+                    "p": pa.array((k1 % np.uint64(P)).astype(np.int32)),
+                })
+            return self._read_files(files, evolution=evo_b).map_batches(
+                m, batch_format="pyarrow")
+
+        def classify(t: pa.Table) -> pa.Table:
+            k1 = np.asarray(t["k1"])
+            k2 = np.asarray(t["k2"])
+            s = np.asarray(t["s"])
+            ch = np.asarray(t["ch"])
+            pair = np.rec.fromarrays([k1, k2], names="a,b")
+            _, gid = np.unique(pair, return_inverse=True)
+            G = int(gid.max()) + 1 if len(gid) else 0
+            m0, m1 = s == 0, s == 1
+            n0 = np.bincount(gid[m0], minlength=G)
+            n1 = np.bincount(gid[m1], minlength=G)
+            # multiset compare per key: wraparound sums of the row hash and
+            # a nonlinear finalizer — equal counts + both sums <=> equal
+            sums = []
+            for m in (m0, m1):
+                s1 = np.zeros(G, np.uint64)
+                s2 = np.zeros(G, np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(s1, gid[m], ch[m])
+                    np.add.at(s2, gid[m], _splitmix64(ch[m]))
+                sums.append((s1, s2))
+            same = (n0 == n1) & (sums[0][0] == sums[1][0]) & (sums[0][1] == sums[1][1])
+            code = np.full(G, -1, np.int8)  # 0=insert 1=delete 2=update
+            code[(n0 == 0) & (n1 > 0)] = 0
+            code[(n1 == 0) & (n0 > 0)] = 1
+            code[(n0 > 0) & (n1 > 0) & ~same] = 2
+            first = np.full(G, len(gid), np.int64)  # first row index per key
+            np.minimum.at(first, gid, np.arange(len(gid)))
+            keep = code >= 0
+            idx = first[keep]
+            return pa.table({
+                "k1": pa.array(k1[idx]), "k2": pa.array(k2[idx]),
+                "code": pa.array(code[keep]),
+            })
+
+        meta = meta_side(removed, 0).union(meta_side(added, 1))
+        changed = (
+            meta.groupby("p").map_groups(classify, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(changed) == 0:
+            return empty()
+        if len(changed) <= 2_000_000:
+            order = np.argsort(changed["k1"].to_numpy(), kind="stable")
+            ck1 = changed["k1"].to_numpy()[order]
+            ck2 = changed["k2"].to_numpy()[order]
+            ccode = changed["code"].to_numpy()[order].astype(np.int8)
+            if len(np.unique(ck1)) == len(ck1):  # k1 unique -> O(log n) probe
+                refs = ray.put((ck1, ck2, ccode))
+
+                def emit(t: pa.Table, _s: int, _refs=refs) -> pa.Table:
+                    a1, a2, ac = ray.get(_refs)
+                    k1 = hash_batch_cols(t, tuple(key))
+                    k2 = hash_batch_cols_alt(t, tuple(key))
+                    i = np.searchsorted(a1, k1)
+                    i = np.minimum(i, len(a1) - 1)
+                    hit = (a1[i] == k1) & (a2[i] == k2)
+                    code = np.where(hit, ac[i], np.int8(-1))
+                    if _s == 0:
+                        lab = {1: "delete"}
+                        if include_preimages:
+                            lab[2] = "update_preimage"
+                    else:
+                        lab = {0: "insert",
+                               2: "update_postimage" if include_preimages
+                               else "update"}
+                    pieces = []
+                    for c, name in lab.items():
+                        rows = code == c
+                        if rows.any():
+                            sel = t.filter(pa.array(rows))
+                            pieces.append(sel.append_column(
+                                "_change", pa.repeat(pa.scalar(name), len(sel))))
+                    if not pieces:
+                        return t.schema.append(
+                            pa.field("_change", pa.string())).empty_table()
+                    return pa.concat_tables(pieces)
+
+                out = self._read_files(removed, evolution=evo_b).map_batches(
+                    emit, fn_kwargs={"_s": 0}, batch_format="pyarrow"
+                ).union(
+                    self._read_files(added, evolution=evo_b).map_batches(
+                        emit, fn_kwargs={"_s": 1}, batch_format="pyarrow"
+                    )
+                )
+                return out
+        # fallback: full-row co-partition diff (huge changed set, or the
+        # astronomically-unlikely k1 collision inside the changed set)
+        return self._change_feed_shuffle(
+            removed, added, key, data_cols, evo_b, include_preimages, P
+        )
+
+    def _change_feed_shuffle(
+        self,
+        removed: list[DataFile],
+        added: list[DataFile],
+        key: list[str],
+        data_cols: list[str],
+        evo_b,
+        include_preimages: bool,
+        P: int,
+    ) -> "ray.data.Dataset":
+        """Full-row co-partitioned diff: hash(key) % P partitions, vectorized
+        numpy classification per partition (never one Python call per key)."""
         def side(ds: "ray.data.Dataset", s: int) -> "ray.data.Dataset":
             def add(t: pa.Table, _s=s) -> pa.Table:
+                from aws_medallion_datalake_ray.functions.hashing import (
+                    hash_batch_cols,
+                )
+
+                part = (hash_batch_cols(t, tuple(key)) % np.uint64(P)).astype(
+                    np.int32
+                )
                 return t.append_column(
-                    "__side", pa.repeat(pa.scalar(_s, pa.int8()), len(t)))
+                    "__side", pa.repeat(pa.scalar(_s, pa.int8()), len(t))
+                ).append_column("__cfp", pa.array(part))
             return ds.map_batches(add, batch_format="pyarrow")
 
         both = side(self._read_files(removed, evolution=evo_b), 0).union(
             side(self._read_files(added, evolution=evo_b), 1)
         )
-        data_cols = [c for c in (schema.names if schema else key)]
 
-        def diff_group(
+        def diff_partition(
             t: pa.Table, _key=tuple(key), _cols=tuple(data_cols),
             _pre=include_preimages,
         ) -> pa.Table:
             from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+            from aws_medallion_datalake_ray.state.table import _join_keys
 
             s = np.asarray(t["__side"])
-            body = t.drop_columns(["__side"])
+            body = t.drop_columns(["__side", "__cfp"])
+            # exact key groups via the joined key string (no hash collisions)
+            _, gid = np.unique(_join_keys(body, _key), return_inverse=True)
+            G = int(gid.max()) + 1 if len(gid) else 0
+            m0, m1 = s == 0, s == 1
+            n0 = np.bincount(gid[m0], minlength=G)
+            n1 = np.bincount(gid[m1], minlength=G)
+            ch = hash_batch_cols(body, _cols)
+            ch2 = _splitmix64(ch)
+            sums = []
+            for m in (m0, m1):
+                s1 = np.zeros(G, np.uint64)
+                s2 = np.zeros(G, np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(s1, gid[m], ch[m])
+                    np.add.at(s2, gid[m], ch2[m])
+                sums.append((s1, s2))
+            same = (n0 == n1) & (sums[0][0] == sums[1][0]) & (sums[0][1] == sums[1][1])
+            g_ins = n1.astype(bool) & (n0 == 0)
+            g_del = n0.astype(bool) & (n1 == 0)
+            g_upd = (n0 > 0) & (n1 > 0) & ~same
+            pieces = []
+            for grp_mask, row_side, change in (
+                (g_ins, m1, "insert"),
+                (g_del, m0, "delete"),
+                (g_upd, m0, "update_preimage") if _pre else (None, None, None),
+                (g_upd, m1, "update_postimage" if _pre else "update"),
+            ):
+                if grp_mask is None:
+                    continue
+                rows = row_side & grp_mask[gid]
+                if rows.any():
+                    sel = body.filter(pa.array(rows))
+                    pieces.append(sel.append_column(
+                        "_change", pa.repeat(pa.scalar(change), len(sel))))
             out_schema = body.schema.append(pa.field("_change", pa.string()))
-            a, b = body.filter(pa.array(s == 0)), body.filter(pa.array(s == 1))
-            if len(a) == 0:
-                res, change = b, "insert"
-            elif len(b) == 0:
-                res, change = a, "delete"
-            else:
-                ha = np.sort(hash_batch_cols(a, _cols))
-                hb = np.sort(hash_batch_cols(b, _cols))
-                if len(ha) == len(hb) and bool((ha == hb).all()):
-                    return out_schema.empty_table()  # pure rewrite, cancels
-                if _pre:
-                    return pa.concat_tables([
-                        a.append_column("_change", pa.repeat(
-                            pa.scalar("update_preimage"), len(a))),
-                        b.append_column("_change", pa.repeat(
-                            pa.scalar("update_postimage"), len(b))),
-                    ])
-                res, change = b, "update"  # post-image only
-            return res.append_column(
-                "_change", pa.repeat(pa.scalar(change), len(res)))
+            if not pieces:
+                return out_schema.empty_table()
+            return pa.concat_tables(pieces)
 
-        return both.groupby(key).map_groups(diff_group, batch_format="pyarrow")
+        return (
+            both.groupby("__cfp")
+            .map_groups(diff_partition, batch_format="pyarrow")
+        )
 
     def content_checksum(self, cols: Sequence[str], snapshot_id: int | None = None) -> int:
         """Distributed order-insensitive checksum: per-batch row-hash sums
