@@ -1,10 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The decode step is STUBBED (no image/audio libs in this container — clearly
-marked below); the Ray-side plumbing is real: schema, actor-pool signature,
-small-batch sizing for wide binary rows, and output layout are what matter at
-100 TB.  A real deployment swaps ``_decode_stub`` for PIL/libav decoding in
-``__init__``-loaded codecs; nothing else changes.
+Decode is REAL for raw tensor formats — ``raw-rgb8`` (payload IS the
+H x W x 3 uint8 pixel buffer, zero-copy ``np.frombuffer``) and ``pcm16``
+(int16-LE samples) — the representations large training pipelines actually
+store after a one-time decode pass.  Compressed formats (``image`` /
+``audio`` / ``video`` = jpeg/mp3/mp4) remain STUBBED (no codec libs in this
+container — clearly marked below); a real deployment swaps ``_decode_stub``
+for PIL/libav in ``__init__``-loaded codecs and nothing else changes: the
+resize / frame-sampling / feature plumbing already operates on true array
+shapes via the raw path.
 """
 
 from __future__ import annotations
@@ -29,18 +33,34 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def make_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (binary payloads of varying size)."""
+    """Deterministic media rows: raw-rgb8 / pcm16 payloads are REAL decodable
+    tensors (pixel buffer / sample buffer); image/audio/video payloads are
+    opaque bytes exercising the stubbed compressed path."""
     rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    sizes = rng.integers(256, 8192, n)
-    payloads = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
+    kind_pool = np.array(["raw-rgb8", "pcm16", "image", "audio", "video"])
+    kinds = kind_pool[rng.integers(0, 5, n)]
+    widths = rng.integers(8, 64, n).astype(np.int32)
+    heights = rng.integers(8, 64, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        if kinds[i] == "raw-rgb8":
+            payloads.append(
+                rng.integers(0, 256, int(heights[i]) * int(widths[i]) * 3,
+                             dtype=np.uint8).tobytes())
+        elif kinds[i] == "pcm16":
+            payloads.append(
+                rng.integers(-(2**15), 2**15, 1024, dtype=np.int16).tobytes())
+        else:
+            payloads.append(
+                rng.integers(0, 256, int(rng.integers(256, 8192)),
+                             dtype=np.uint8).tobytes())
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
             "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(rng.integers(32, 1024, n), pa.int32()),
-            "height": pa.array(rng.integers(32, 1024, n), pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -64,13 +84,26 @@ class MediaFeaturizer:
         self.frame_stride = frame_stride  # video: keep every k-th frame
         # STUB: real impl -> ``self.codec = PIL.Image`` / torchaudio / libav
 
+    def _decode(self, payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
+        """Raw tensor formats decode for real; compressed kinds hit the stub."""
+        if kind == "raw-rgb8":
+            # zero-copy view of the pixel buffer -> (h, w, 3) uint8
+            px = np.frombuffer(payload, dtype=np.uint8)
+            if len(px) != h * w * 3:
+                raise ValueError(
+                    f"raw-rgb8 payload is {len(px)} B, metadata says {h}x{w}x3")
+            return px.reshape(h, w, 3)
+        if kind == "pcm16":
+            return np.frombuffer(payload, dtype="<i2")  # int16-LE samples
+        return self._decode_stub(payload, kind, w, h)
+
     def _decode_stub(self, payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
-        """Deterministic fake decode.
+        """Deterministic fake decode for COMPRESSED kinds only.
 
         image -> (h, w) uint8 "pixels"; audio -> (n,) int16 "samples";
         video -> (frames, h, w) uint8.  A real decoder replaces ONLY this
         method; everything downstream (resize, frame sampling, features)
-        already handles the true array shapes.
+        already handles the true array shapes via the raw formats above.
         """
         if kind not in ("image", "audio", "video"):
             raise NotImplementedError(f"no decoder for media kind {kind!r}")
@@ -106,15 +139,15 @@ class MediaFeaturizer:
             batch["payload"].to_pylist(), batch["kind"].to_pylist(),
             batch["width"].to_pylist(), batch["height"].to_pylist(),
         ):
-            dec = self._decode_stub(payload, kind, w, h)
-            if kind == "image":
+            dec = self._decode(payload, kind, w, h)
+            if kind in ("image", "raw-rgb8"):
                 dec = self._resize(dec)
                 n_frames = 1
             elif kind == "video":
                 dec = dec[:: self.frame_stride]  # frame sampling
                 n_frames = dec.shape[0]
                 dec = np.stack([self._resize(fr) for fr in dec])
-            else:
+            else:  # audio kinds: features over the raw sample stream
                 n_frames = 0
             feats.append(self._features(dec))
             sizes.append(len(payload))

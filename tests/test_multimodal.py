@@ -33,10 +33,23 @@ def test_video_frame_sampling():
     for k, n in zip(kinds, frames):
         if k == "video":
             assert n == 4  # 16 fake frames / stride 4
-        elif k == "image":
+        elif k in ("image", "raw-rgb8"):
             assert n == 1
         else:
             assert n == 0
+
+
+def test_raw_rgb8_decodes_exact_pixels():
+    """raw tensor formats decode for REAL: the payload bytes ARE the array."""
+    f = MediaFeaturizer()
+    px = np.arange(10 * 6 * 3, dtype=np.uint8).reshape(10, 6, 3)
+    dec = f._decode(px.tobytes(), "raw-rgb8", 6, 10)
+    assert np.array_equal(dec, px)
+    with pytest.raises(ValueError):
+        f._decode(px.tobytes(), "raw-rgb8", 7, 10)  # metadata mismatch
+
+    samples = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    assert np.array_equal(f._decode(samples.tobytes(), "pcm16", 0, 0), samples)
 
 
 def test_resize_shape():
