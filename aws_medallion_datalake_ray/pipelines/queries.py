@@ -1513,6 +1513,46 @@ def q43_pivot_segment_year(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("segment").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q44
+
+
+def q44_division_loyal_customers(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION (universal quantification): customers with orders
+    in EVERY year 1995-2001, rolled up per segment.  Plan: per-batch exact
+    (custkey, year) pair dedup (combiner) -> distributed pair dedup ->
+    per-customer distinct-year count -> filter == |domain| -> broadcast
+    segment lookup.  Only (custkey, year) pairs ever shuffle."""
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+    N_YEARS = 7  # fixture invariant: order years span exactly 1995-2001
+
+    def pairs(t: pa.Table) -> pa.Table:
+        yr = t["o_orderdate"].to_pandas().dt.year.to_numpy(np.int32)
+        return (
+            pa.table({"o_custkey": t["o_custkey"], "ano": pa.array(yr)})
+            .group_by(["o_custkey", "ano"]).aggregate([])
+        )
+
+    per_cust = (
+        exact_dedup(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+            .map_batches(pairs, batch_format="pyarrow"),
+            ("o_custkey", "ano"),
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_years"))
+        .to_pandas()
+    )
+    loyal = per_cust[per_cust["n_years"] == N_YEARS]["o_custkey"]
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = loyal.map(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    out = (seg.value_counts().rename_axis("segment").reset_index(name="n_loyal")
+           .sort_values("segment").reset_index(drop=True))
+    out["n_loyal"] = out["n_loyal"].astype("int64")
+    return out[["segment", "n_loyal"]]
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -1912,6 +1952,17 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "q44_division_loyal_customers": """
+        -- relational division: customers covering all 7 order years
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_loyal
+        FROM (
+            SELECT o_custkey FROM orders
+            GROUP BY o_custkey
+            HAVING count(DISTINCT year(o_orderdate)) = 7
+        ) l JOIN customer c ON l.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
     "q42_sequence_packing": """
         -- sequence packing by global char offset: doc joins sequence
         -- floor(start_offset / 4096); output = docs-per-sequence histogram
@@ -2008,4 +2059,5 @@ SQL_QUERIES = {
     "q41_hash_sample": q41_hash_sample,
     "q42_sequence_packing": q42_sequence_packing,
     "q43_pivot_segment_year": q43_pivot_segment_year,
+    "q44_division_loyal_customers": q44_division_loyal_customers,
 }
