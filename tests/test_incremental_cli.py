@@ -125,3 +125,32 @@ def test_cli_dedup_near(tmp_path):
     )
     assert rc == 0 and out["status"] == "ok"
     assert out["near_dup_rows"] >= 4
+
+
+def test_cli_evolve_and_change_feed(tmp_path):
+    """evolve-schema and change-feed subcommands over a real table."""
+    import pyarrow as pa
+
+    base = make_source_files(300, seed=31)
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(base, run_ts=TS)
+    s1 = t.store.head_id()
+
+    rc, out = _run_cli("evolve-schema", "--table", str(tmp_path / "t"),
+                       "--add", "stars:int64:0", "--rename", "lang=language")
+    assert rc == 0 and out["status"] == "ok"
+    assert out["summary"]["added_cols"] == ["stars"]
+
+    # merge an in-place rewrite so the feed has one update
+    t2 = LakeTable(str(tmp_path / "t"))
+    upd = base.slice(0, 3).set_column(
+        4, "content", pa.array(["a", "b", "c"], pa.large_string()))
+    upd = upd.rename_columns(
+        [c if c != "lang" else "language" for c in upd.column_names])
+    upd = upd.append_column("stars", pa.array([1, 1, 1], pa.int64()))
+    t2.merge(upd, run_ts="2024-01-02T00:00:00")
+
+    rc, out = _run_cli("change-feed", "--table", str(tmp_path / "t"),
+                       "--from-snapshot", str(s1))
+    assert rc == 0 and out["status"] == "ok"
+    assert out["changes"] == {"update": 3}
