@@ -1553,6 +1553,48 @@ def q44_division_loyal_customers(sf_dir: str) -> pd.DataFrame:
     return out[["segment", "n_loyal"]]
 
 
+# ---------------------------------------------------------------- q45
+
+
+def q45_segment_status_agg(sf_dir: str) -> pd.DataFrame:
+    """Collect-list / string_agg per group: the distributed part is a
+    (segment, status) DISTINCT + a count aggregate; the ordered string join
+    happens on the tiny distinct result — a list-collect never ships row
+    payloads, only the distinct members."""
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+
+    def tag(t: pa.Table, ref=seg_ref) -> pa.Table:
+        seg = pd.Series(t["o_custkey"].to_pandas()).map(ray.get(ref))
+        return (
+            pa.table({"segment": pa.array(seg, pa.string()),
+                      "status": t["o_orderstatus"],
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["segment", "status"])
+            .aggregate([("p_n", "sum")])
+            .rename_columns(["segment", "status", "p_n"])
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(tag, batch_format="pyarrow")
+    per = (
+        orders.groupby(["segment", "status"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["segment", "status"])
+    )
+    rows = []
+    for seg, g in per.groupby("segment", sort=True):
+        rows.append({"segment": seg,
+                     "statuses": ",".join(g["status"]),
+                     "n_orders": int(g["n"].sum())})
+    return pd.DataFrame(rows, columns=["segment", "statuses", "n_orders"])
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -1952,6 +1994,18 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "q45_segment_status_agg": """
+        SELECT segment,
+               string_agg(DISTINCT status ORDER BY status) AS statuses,
+               CAST(sum(n) AS BIGINT) AS n_orders
+        FROM (
+            SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+                   count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        GROUP BY segment ORDER BY segment
+    """,
     "q44_division_loyal_customers": """
         -- relational division: customers covering all 7 order years
         SELECT c.c_mktsegment AS segment,
@@ -2060,4 +2114,5 @@ SQL_QUERIES = {
     "q42_sequence_packing": q42_sequence_packing,
     "q43_pivot_segment_year": q43_pivot_segment_year,
     "q44_division_loyal_customers": q44_division_loyal_customers,
+    "q45_segment_status_agg": q45_segment_status_agg,
 }

@@ -3,6 +3,7 @@ reconciliation, physical upgrade via compact, and exact time travel."""
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -128,6 +129,64 @@ def test_evolution_rejected_on_partitioned(tmp_path):
     t.append(make_source_files(50, seed=1), run_ts=TS)
     with pytest.raises(NotImplementedError):
         t.evolve_schema(add={"x": pa.int64()}, run_ts=TS)
+
+
+def test_random_evolution_sequences_preserve_content(tmp_path):
+    """Property: any interleaving of evolve/append/compact/zorder keeps the
+    (repo, path, commit, content) multiset intact and scans stay coherent
+    with the current schema."""
+    import random
+
+    rng = random.Random(7)
+    t = LakeTable.create(str(tmp_path / "seq"))
+    t.append(make_source_files(200, seed=1), run_ts=TS)
+    fp_cols = ("repo", "path", "commit", "content")
+    fp0 = t.content_fingerprint(fp_cols)
+    n_rows = 200
+    added_cols = 0
+    for step in range(8):
+        op = rng.choice(["evolve_add", "evolve_rename", "append", "compact"])
+        if op == "evolve_add":
+            added_cols += 1
+            t.evolve_schema(add={f"extra{added_cols}": (pa.int64(), step)},
+                            run_ts=TS)
+        elif op == "evolve_rename":
+            sch = t.schema()
+            cands = [c for c in sch.names if c.startswith("extra")]
+            if cands:
+                src = rng.choice(cands)
+                t.evolve_schema(rename={src: f"{src}_r{step}"}, run_ts=TS)
+        elif op == "append":
+            t.append(make_source_files(50, seed=100 + step), run_ts=TS)
+            n_rows += 50
+        else:
+            t.compact(target_file_bytes=32 * 1024 * 1024, run_ts=TS)
+        got = t.to_arrow()
+        assert len(got) == n_rows
+        assert set(got.column_names) == set(t.schema().names)
+    assert t.content_fingerprint(fp_cols) != "" and len(t.to_arrow()) == n_rows
+    # the original columns' content survived every mutation
+    base_now = t.to_arrow(columns=list(fp_cols))
+    import hashlib
+
+    from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
+
+    allh = np.sort(hash_batch_cols(base_now, fp_cols))
+    # recompute expected multiset from the inputs that were appended
+    exp = [make_source_files(200, seed=1)]
+    seeds = []
+    rng2 = random.Random(7)
+    added2 = 0
+    for step in range(8):
+        op = rng2.choice(["evolve_add", "evolve_rename", "append", "compact"])
+        if op == "append":
+            seeds.append(100 + step)
+        elif op == "evolve_add":
+            added2 += 1
+    exp += [make_source_files(50, seed=s) for s in seeds]
+    exp_t = pa.concat_tables(exp)
+    exph = np.sort(hash_batch_cols(exp_t, fp_cols))
+    assert np.array_equal(allh, exph)
 
 
 def test_overwrite_clears_spec(table):
