@@ -752,11 +752,14 @@ def _gold_star(sf_dir: str):
     # dim_customer: distinct via the engine's hash-partitioned dedup
     dim = LakeTable.create(os.path.join(root, "dim_customer"),
                            stats_cols=("c_custkey",))
+    # 16 dedup partitions + sized files: a dim is small relative to facts,
+    # so fewer/larger blocks cut the shuffle and per-file commit overhead
+    # (at real dim scale the partition count rises with the data, same plan)
     dim_ds = exact_dedup(
         _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]),
-        ("c_custkey",),
+        ("c_custkey",), num_partitions=16,
     )
-    dim.overwrite(dim_ds)
+    dim.overwrite(dim_ds, min_rows_per_file=65536)
 
     # fato_orders: measures in integer cents (oracle float parity)
     fact = LakeTable.create(os.path.join(root, "fato_orders"),
@@ -801,7 +804,7 @@ def _gold_star(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("p_cents", alias_name="cents"), Sum("p_n", alias_name="n_orders"))
     )
-    resumo.overwrite(resumo_ds)
+    resumo.overwrite(resumo_ds, min_rows_per_file=65536)
 
     _gold_star_memo[sf_dir] = (dim, fact, resumo, tempo)
     return _gold_star_memo[sf_dir]

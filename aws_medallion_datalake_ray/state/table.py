@@ -515,9 +515,18 @@ class LakeTable:
             added, [], "add-files", run_ts, schema_json=self._file_schema(added)
         )
 
-    def overwrite(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
+    def overwrite(
+        self,
+        data,
+        run_ts: str = "1970-01-01T00:00:00",
+        max_rows_per_file: int | None = None,
+        min_rows_per_file: int | None = None,
+    ) -> Snapshot:
         schema = self._data_schema(data) if self.partition_cols else None
-        added = self._write_dataset(data)
+        added = self._write_dataset(
+            data, max_rows_per_file=max_rows_per_file,
+            min_rows_per_file=min_rows_per_file,
+        )
         removed = [f.path for f in self.store.files()]
         return self.store.commit(
             added, removed, "overwrite", run_ts,
