@@ -293,6 +293,47 @@ def demo_incremental_view(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_write_audit_publish(sf_dir: str) -> pd.DataFrame:
+    """WAP: a bad load is staged, audited (null-key check), abandoned and
+    GC'd without readers ever seeing it; the good load is staged, audited
+    and published atomically."""
+    import pyarrow.compute as pc
+
+    t, base = _fresh_table(sf_dir, "wap")
+    n0 = t.scan().count()
+
+    bad = make_source_files(100, seed=61).set_column(
+        0, "repo", pa.array([None] * 100, pa.string()))
+    staged_bad = t.stage_append(bad, run_ts="2024-01-02T00:00:00")
+    nulls_bad = int(pc.sum(pc.cast(pc.is_null(
+        t.to_arrow(snapshot_id=staged_bad.snapshot_id)["repo"]),
+        pa.int64())).as_py())
+    t.drop_staged(staged_bad.snapshot_id)
+    orphans = len(t.gc_orphans())
+
+    good = make_source_files(100, seed=62)
+    staged_good = t.stage_append(good, run_ts="2024-01-02T00:00:01")
+    nulls_good = int(pc.sum(pc.cast(pc.is_null(
+        t.to_arrow(snapshot_id=staged_good.snapshot_id)["repo"]),
+        pa.int64())).as_py())
+    head_during_audit = t.store.head_id()
+    rows_during_audit = t.scan().count()
+    t.publish(staged_good.snapshot_id)
+    return pd.DataFrame(
+        [
+            {
+                "bad_load_null_keys": nulls_bad,
+                "bad_load_reached_readers": rows_during_audit != n0,
+                "bad_load_files_gcd": orphans,
+                "good_load_null_keys": nulls_good,
+                "head_frozen_during_audit": head_during_audit
+                == staged_good.parent_id,
+                "rows_after_publish": t.scan().count(),
+            }
+        ]
+    )
+
+
 def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
     sketch state is a constant 4 KiB per block regardless of cardinality
@@ -632,6 +673,7 @@ DEMO_QUERIES = {
     "m06_schema_evolution": demo_schema_evolution,
     "m07_change_feed": demo_change_feed,
     "m08_incremental_view": demo_incremental_view,
+    "m09_write_audit_publish": demo_write_audit_publish,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,

@@ -217,6 +217,7 @@ class ManifestStore:
         expected_parent: int | None = "HEAD",  # type: ignore[assignment]
         summary: dict | None = None,
         schema_json: str | None = None,
+        stage: bool = False,
     ) -> Snapshot:
         """Atomically produce a new snapshot = parent - removed + added.
 
@@ -224,6 +225,13 @@ class ManifestStore:
         time" (blind append/maintenance); passing the snapshot id the writer
         *read from* enforces optimistic serializable isolation and raises
         :class:`CommitConflict` when another writer got there first.
+
+        ``stage=True`` is write-audit-publish: the snapshot file is written
+        but HEAD does NOT move — readers keep the old table, auditors scan
+        the staged id, and :meth:`publish` swaps HEAD after validation (or
+        :meth:`drop_staged` abandons it).  Snapshot ids come from
+        ``max(existing)+1`` (not ``HEAD+1``) so staged and published commits
+        never collide.
         """
         os.makedirs(self.dir, exist_ok=True)
         added = list(added)
@@ -236,7 +244,12 @@ class ManifestStore:
                 raise CommitConflict(
                     f"expected parent {expected_parent} but HEAD is {parent_id}"
                 )
-            new_id = (parent_id or 0) + 1
+            existing = [
+                int(n[5:-5]) for n in os.listdir(self.dir)
+                if n.startswith("snap-") and n.endswith(".json")
+                and n[5:-5].isdigit()
+            ]
+            new_id = max([parent_id or 0, *existing], default=0) + 1
             if schema_json is None and head is not None:
                 schema_json = head.schema_json
             # schema-evolution spec (renames/defaults) rides on snapshots the
@@ -295,7 +308,11 @@ class ManifestStore:
                 ),
                 schema_json=schema_json,
             )
+            if stage:
+                snap.summary["staged"] = True
             atomic_write_json(os.path.join(self.dir, f"snap-{new_id}.json"), snap.to_json())
+            if stage:
+                return snap  # WAP: HEAD untouched until publish()
             # fencing check: if our lock was removed by a stale-steal race,
             # another committer may be inside — abort before the swap (the
             # orphaned snap/manifest files are GC'd as unreachable)
@@ -320,14 +337,75 @@ class ManifestStore:
             cur = self.snapshot(cur.parent_id) if cur.parent_id is not None else None
         return keep
 
-    def expire(self, keep_last: int = 2) -> list[int]:
+    def _head_chain(self) -> set[int]:
+        chain: set[int] = set()
+        cur = self.head()
+        while cur is not None:
+            chain.add(cur.snapshot_id)
+            if cur.parent_id is None:
+                break
+            try:
+                cur = self.snapshot(cur.parent_id)
+            except FileNotFoundError:  # ancestor already expired
+                break
+        return chain
+
+    def publish(self, snapshot_id: int) -> Snapshot:
+        """Write-audit-publish step 3: swap HEAD to a previously staged
+        snapshot.  Refuses (:class:`CommitConflict`) when the table advanced
+        past the staged snapshot's parent — the stager must re-stage on the
+        new base (its data files are unchanged; only the diff must be
+        recomputed against the new parent)."""
+        lock, lock_token = self._acquire_lock()
+        try:
+            snap = self.snapshot(snapshot_id)
+            head = self.head()
+            parent = head.snapshot_id if head else None
+            if snap.parent_id != parent:
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} has parent "
+                    f"{snap.parent_id} but HEAD is {parent}; re-stage"
+                )
+            if not self._owns_lock(lock, lock_token):
+                raise CommitConflict("commit lock lost mid-publish; retry")
+            atomic_write_json(os.path.join(self.dir, "HEAD"),
+                              {"snapshot_id": snapshot_id})
+            return snap
+        finally:
+            if self._owns_lock(lock, lock_token):
+                os.unlink(lock)
+
+    def drop_staged(self, snapshot_id: int) -> None:
+        """Abandon a staged (never-published) snapshot: the snap file is
+        removed; its data files become orphans for the next GC.  Refuses to
+        touch anything on the HEAD ancestry chain."""
+        if snapshot_id in self._head_chain():
+            raise ValueError(
+                f"snapshot {snapshot_id} is on the published chain; "
+                "use expire/rollback for published history"
+            )
+        os.unlink(os.path.join(self.dir, f"snap-{snapshot_id}.json"))
+
+    def expire(self, keep_last: int = 2, older_than: str | None = None) -> list[int]:
         """Delete snapshot + manifest files not reachable from the kept set.
+
+        ``older_than`` (ISO-8601): additionally keep any snapshot whose
+        ``ts`` is >= the bound (time-based retention, composable with
+        ``keep_last``).  Staged-but-unpublished snapshots (off the HEAD
+        chain) are always kept — they are awaiting audit; use
+        :meth:`drop_staged` to abandon one.
 
         Returns the expired snapshot ids.  Data-file GC is separate
         (:meth:`LakeTable.gc_orphans`) so a crash between the two steps never
         loses reachable data.
         """
         keep = self.live_snapshot_ids(keep_last)
+        chain = self._head_chain()
+        for snap in self.snapshots():
+            if snap.snapshot_id not in chain:
+                keep.add(snap.snapshot_id)  # staged, pending audit
+            elif older_than is not None and snap.ts >= older_than:
+                keep.add(snap.snapshot_id)
         kept_manifests: set[str] = set()
         expired: list[int] = []
         for snap in self.snapshots():

@@ -1210,8 +1210,43 @@ class LakeTable:
 
     # ------------------------------------------------------------ expiry / GC
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
-        return self.store.expire(keep_last)
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than: str | None = None
+    ) -> list[int]:
+        """Retention: keep the last ``keep_last`` published snapshots, plus
+        (with ``older_than``, ISO-8601) everything newer than the bound, plus
+        every staged-unpublished snapshot."""
+        return self.store.expire(keep_last, older_than=older_than)
+
+    # ------------------------------------------------------ write-audit-publish
+
+    def stage_append(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
+        """WAP step 1: write + commit a snapshot WITHOUT moving HEAD.
+        Readers keep the current table; auditors validate via
+        ``scan(snapshot_id=staged.snapshot_id)`` /
+        ``content_checksum(..., snapshot_id=...)``; then :meth:`publish` or
+        :meth:`drop_staged`.  Generalizes the reference's audit-free direct
+        overwrite (``silver_digit_clean.py:127``) where bad loads hit
+        consumers instantly."""
+        schema = self._data_schema(data) if self.partition_cols else None
+        added = self._write_dataset(data)
+        if self._evolution() is not None:
+            schema_json = None
+        elif schema is not None:
+            schema_json = _schema_to_json(schema)
+        else:
+            schema_json = self._file_schema(added)
+        return self.store.commit(
+            added, [], "stage-append", run_ts, schema_json=schema_json, stage=True
+        )
+
+    def publish(self, snapshot_id: int) -> Snapshot:
+        """WAP step 3: atomically point HEAD at an audited staged snapshot."""
+        return self.store.publish(snapshot_id)
+
+    def drop_staged(self, snapshot_id: int) -> None:
+        """Abandon a staged snapshot; its files become GC-able orphans."""
+        self.store.drop_staged(snapshot_id)
 
     def gc_orphans(self) -> list[str]:
         """Delete data files unreachable from any live snapshot AND not
