@@ -354,6 +354,103 @@ def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def demo_corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """The end-to-end LLM corpus-curation funnel in ONE composed pipeline:
+    lang-ID + quality scoring (Arrow RE2 stage) -> quality filter -> exact
+    dedup (fingerprint hash-partitioned) -> MinHash+LSH near-dup removal
+    (keep smallest id) -> sequence packing stats (distributed prefix sum).
+    Every stage is the engine's production operator; only counts move to
+    the driver between stages except the (small) near-dup pair list."""
+    import pyarrow.compute as pc
+
+    from aws_medallion_datalake_ray.functions.dedup import (
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from aws_medallion_datalake_ray.functions.text import analyze_batch_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_input = ds.count()
+
+    scored = ds.map_batches(analyze_batch_arrow, batch_format="pyarrow")
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality_score"], 0.6)),
+        batch_format="pyarrow",
+    )
+    n_quality = kept.count()
+
+    uniq = exact_dedup(kept, ("fingerprint",), num_partitions=16)
+    n_exact = uniq.count()
+
+    pairs = minhash_near_dups(uniq, text_col="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.7)
+    # keep the smallest id of each near-dup pair; drop the rest (small set)
+    drop = {int(b) for a, b in zip(pairs["id_a"].to_pylist(),
+                                   pairs["id_b"].to_pylist())}
+    drop_ref = ray.put(np.array(sorted(drop), np.int64))
+
+    def rm(t: pa.Table, ref=drop_ref) -> pa.Table:
+        d = ray.get(ref)
+        ids = np.asarray(t["doc_id"])
+        i = np.searchsorted(d, ids)
+        i = np.minimum(i, max(len(d) - 1, 0))
+        hit = (d[i] == ids) if len(d) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(~hit))
+
+    final = uniq.map_batches(rm, batch_format="pyarrow")
+    n_final = final.count()
+
+    # packing stats over the survivors (q42 machinery, inline)
+    W, BUDGET = 256, 4096
+
+    def bsum(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"b": pc.divide(t["doc_id"], W), "p": t["n_chars"]})
+            .group_by("b").aggregate([("p", "sum")]).rename_columns(["b", "p"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    bs = (final.map_batches(bsum, batch_format="pyarrow")
+          .groupby("b").aggregate(Sum("p", alias_name="ch"))
+          .to_pandas().sort_values("b"))
+    off = dict(zip(bs["b"], bs["ch"].cumsum() - bs["ch"]))
+    off_ref = ray.put(off)
+
+    def pack(t: pa.Table, ref=off_ref) -> pa.Table:
+        offs = ray.get(ref)
+        df = t.select(["doc_id", "n_chars", "__b"]).to_pandas() \
+            .sort_values("doc_id")
+        seqs = set()
+        for b, g in df.groupby("__b"):
+            start = g["n_chars"].cumsum() - g["n_chars"] + int(offs[b])
+            seqs.update((start // BUDGET).tolist())
+        return pa.table({"seq": pa.array(sorted(seqs), pa.int64())})
+
+    n_seqs = (
+        final.map_batches(
+            lambda t: t.append_column("__b", pc.divide(t["doc_id"], W)),
+            batch_format="pyarrow",
+        )
+        # co-locate each coarse bucket so its local cumsum is complete
+        .groupby("__b").map_groups(pack, batch_format="pyarrow")
+        .unique("seq")
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_input": n_input,
+                "n_quality_kept": n_quality,
+                "n_after_exact_dedup": n_exact,
+                "n_after_near_dedup": n_final,
+                "n_near_dup_removed": n_exact - n_final,
+                "n_packed_sequences": len(n_seqs),
+            }
+        ]
+    )
+
+
 def demo_hot_keys(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy hitters over the zipf ``repo`` column — the bounded
     -state hot-key detector that would feed shuffle salting decisions
@@ -679,6 +776,7 @@ DEMO_QUERIES = {
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,
     "t07_hll_distinct": demo_hll_distinct,
     "t08_hot_keys": demo_hot_keys,
+    "t09_corpus_curation": demo_corpus_curation,
     "t02_simhash": demo_simhash,
     "t03_text_analysis": demo_text_analysis,
     "t04_fingerprints": demo_fingerprints,
