@@ -1210,36 +1210,56 @@ def q37_regional_supplier_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 def q38_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Grouped EXACT quantiles at scale: per-block Arrow group_by builds
-    (flag, cents) -> count partial histograms, a distributed groupby sums
-    them, and the driver reduces one histogram per group (cardinality is
-    bounded by the PRICE DOMAIN, not the corpus — the same guarantee as
-    q24's global sketch, per group)."""
+    """Grouped EXACT quantiles with ZERO shuffle (q24's mergeable
+    cent-histogram sketch, keyed per group): each block contributes a
+    {flag: sorted (cents, count) arrays} state, tree-combined by Ray's
+    aggregate — only KB-sized states move.  State is bounded by |groups| x
+    |price domain|, never by the corpus.  Replaced a distributed
+    (flag, cents) groupby that shuffled one row per distinct pair
+    (6.9 s -> scan-bound at sf0.1)."""
+    from ray.data.aggregate import AggregateFnV2 as _AggBase
+
+    from aws_medallion_datalake_ray.functions.dedup import merge_count_states
+
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
-                        pa.int64())
-        return (
-            pa.table({"l_returnflag": t["l_returnflag"], "cents": cents,
-                      "p_n": pa.array(np.ones(len(t), np.int64))})
-            .group_by(["l_returnflag", "cents"])
-            .aggregate([("p_n", "sum")])
-            .rename_columns(["l_returnflag", "cents", "p_n"])
-        )
+    class GroupedCentHist(_AggBase):
+        def __init__(self):
+            super().__init__(name="ghist", zero_factory=dict, on=None,
+                             ignore_nulls=True)
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "cents"])
-        .aggregate(Sum("p_n", alias_name="n"))
-        .to_pandas()
-        .sort_values(["l_returnflag", "cents"])
-    )
+        def aggregate_block(self, block):
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            cents = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                pa.int64())
+            g = (pa.table({"f": t["l_returnflag"], "c": cents})
+                 .group_by(["f", "c"]).aggregate([([], "count_all")]))
+            f = np.asarray(g["f"].to_pandas(), dtype=object)
+            c = np.asarray(g["c"])
+            n = np.asarray(g["count_all"])
+            out = {}
+            order = np.argsort(f, kind="stable")
+            f, c, n = f[order], c[order], n[order]
+            for flag in np.unique(f):
+                m = f == flag
+                o = np.argsort(c[m])
+                out[flag] = (c[m][o].astype(np.int64), n[m][o].astype(np.int64))
+            return out
+
+        def combine(self, a, b):
+            out = dict(a)
+            for flag, state in b.items():
+                out[flag] = (merge_count_states(out[flag], state)
+                             if flag in out else state)
+            return out
+
+    hist = ds.aggregate(GroupedCentHist())["ghist"]
     rows = []
-    for flag, g in hist.groupby("l_returnflag", sort=True):
-        cum = g["n"].cumsum().to_numpy()
+    for flag in sorted(hist):
+        vals, counts = hist[flag]
+        cum = np.cumsum(counts)
         total = int(cum[-1])
-        vals = g["cents"].to_numpy()
         row = {"l_returnflag": flag, "n_rows": total}
         for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
             k = int(np.ceil(q * total))  # quantile_disc: smallest x, cum >= k
