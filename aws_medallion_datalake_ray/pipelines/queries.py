@@ -1618,6 +1618,25 @@ def q45_segment_status_agg(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["segment", "statuses", "n_orders"])
 
 
+# ---------------------------------------------------------------- q46
+
+
+def q46_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters through the Dataset aggregate, oracle-checked
+    in the EXACT regime: with distinct keys <= k the summary never decrements,
+    so the sketch counts equal the true counts — validating the mergeable
+    machinery itself against SQL (the >k regime's lower-bound guarantee is
+    covered by pytest `test_mg_guarantee_on_zipf`)."""
+    from aws_medallion_datalake_ray.functions.sketches import hot_keys
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    got = hot_keys(ds, "event_type", k=64)
+    out = pd.DataFrame(got, columns=["event_type", "n"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["n", "event_type"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2017,6 +2036,11 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "q46_heavy_hitters": """
+        -- exact regime (5 distinct types << k=64): sketch counts == truth
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY n DESC, event_type
+    """,
     "q45_segment_status_agg": """
         SELECT segment,
                string_agg(DISTINCT status ORDER BY status) AS statuses,
@@ -2138,4 +2162,5 @@ SQL_QUERIES = {
     "q43_pivot_segment_year": q43_pivot_segment_year,
     "q44_division_loyal_customers": q44_division_loyal_customers,
     "q45_segment_status_agg": q45_segment_status_agg,
+    "q46_heavy_hitters": q46_heavy_hitters,
 }
