@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--cols", default="repo,path,commit,lang,content")
 
+    p = add("maintain")
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--keep-last", type=int, default=3)
+
     p = add("evolve-schema")
     p.add_argument("--table", required=True)
     p.add_argument("--add", default=None,
@@ -146,6 +151,11 @@ def main(argv: list[str] | None = None) -> int:
             out["checksum"] = t.content_checksum(cols)
             out["rows"] = sum(f.rows for f in t.files())
             out["files"] = len(t.files())
+        elif args.cmd == "maintain":
+            out["actions"] = _table(args.table).maintain(
+                run_ts=args.run_ts, target_file_bytes=args.target_mb << 20,
+                keep_last=args.keep_last,
+            )
         elif args.cmd == "evolve-schema":
             import pyarrow as _pa
 

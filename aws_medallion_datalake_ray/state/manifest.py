@@ -334,7 +334,12 @@ class ManifestStore:
         cur = self.head()
         while cur is not None and len(keep) < keep_last:
             keep.add(cur.snapshot_id)
-            cur = self.snapshot(cur.parent_id) if cur.parent_id is not None else None
+            if cur.parent_id is None:
+                break
+            try:
+                cur = self.snapshot(cur.parent_id)
+            except FileNotFoundError:  # ancestor expired in a prior pass
+                break
         return keep
 
     def _head_chain(self) -> set[int]:

@@ -1269,6 +1269,64 @@ class LakeTable:
                 os.rmdir(dirpath)
         return deleted
 
+    def maintain(
+        self,
+        run_ts: str = "1970-01-01T00:00:00",
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        small_file_threshold: int = 8,
+        stats_coverage: float = 0.5,
+        keep_last: int = 3,
+        predicate: Predicate | None = None,
+    ) -> dict[str, Any]:
+        """Policy-driven maintenance autopilot — the one-call version of the
+        north-rule suite, deciding per policy what actually needs to run
+        (the reference has no equivalent; every Glue run rewrote everything,
+        ``silver_digit_clean.py:127``):
+
+        - compact when more than ``small_file_threshold`` files sit below
+          80% of the target size (bin-packing is a no-op otherwise);
+        - rewrite stats when fewer than ``stats_coverage`` of files carry
+          min/max bounds for the configured stats columns;
+        - always expire beyond ``keep_last`` and GC orphans (cheap,
+          metadata-only + unreferenced files).
+
+        Returns the actions taken with their per-op results.  ``predicate``
+        scopes the file-level checks and rewrites (per-partition autopilot
+        at many-partition scale).  Zorder is intentionally NOT automatic —
+        clustering choice is a modeling decision (columns + curve), invoked
+        explicitly."""
+        actions: dict[str, Any] = {}
+        files = prune_files(self.files(), predicate)
+        if not files:
+            return {"skipped": "empty table"}
+        small = [f for f in files if f.bytes < int(target_file_bytes * 0.8)]
+        if len(small) > small_file_threshold:
+            actions["compact"] = self.compact(
+                target_file_bytes=target_file_bytes, run_ts=run_ts,
+                predicate=predicate,
+            )
+        files = prune_files(self.files(), predicate)
+        sch = self.schema()
+        # only stats columns that exist in the table schema count toward
+        # coverage (config may list columns some tables don't carry)
+        scols = tuple(
+            c for c in self.stats_cols
+            if sch is None or sch.get_field_index(c) >= 0
+        )
+        covered = sum(
+            1 for f in files
+            if all(f.stats.get(c, {}).get("min") is not None for c in scols)
+        )
+        if scols and files and covered / len(files) < stats_coverage:
+            snap = self.rewrite_stats(run_ts=run_ts)
+            actions["rewrite_stats"] = {"snapshot_id": snap.snapshot_id,
+                                        "coverage_before": round(covered / len(files), 3)}
+        expired = self.expire_snapshots(keep_last=keep_last)
+        deleted = self.gc_orphans()
+        actions["expire"] = {"snapshots_expired": len(expired),
+                             "orphans_deleted": len(deleted)}
+        return actions
+
     # ------------------------------------------------------------ MERGE INTO
 
     def merge(

@@ -408,3 +408,38 @@ def test_merge_int_key_prunes_with_native_stats(tmp_path, ray_session):
     assert res["updates"] == 2
     got = {r["id"]: r["v"] for r in t.to_arrow().to_pylist()}
     assert got == {1: "a", 2: "B", 3: "c", 100: "X", 200: "y", 300: "z"}
+
+
+def test_maintain_autopilot(tmp_path, ray_session):
+    """maintain(): compacts only when fragmented, rewrites stats only when
+    coverage dropped, always applies retention — and is idempotent."""
+    import json as _json
+    import os as _os
+
+    from aws_medallion_datalake_ray.sources.fixtures import make_source_files
+
+    t = LakeTable.create(str(tmp_path / "auto"), stats_cols=("repo",))
+    base = make_source_files(2000, seed=17)
+    for i in range(0, 2000, 100):  # 20 small files
+        t.append(base.slice(i, 100), run_ts=TS)
+
+    out = t.maintain(run_ts=TS, target_file_bytes=32 * 1024 * 1024)
+    assert "compact" in out and out["compact"]["files_in"] == 20
+    assert "rewrite_stats" not in out  # stats were collected at write time
+    assert out["expire"]["snapshots_expired"] > 0
+
+    # steady state: nothing fragmented, nothing to expire beyond keep_last
+    out2 = t.maintain(run_ts=TS, target_file_bytes=32 * 1024 * 1024)
+    assert "compact" not in out2
+
+    # operator widens the stats config -> coverage drops -> stats rewrite
+    t.config["stats_cols"] = ["repo", "lang"]
+    with open(_os.path.join(t.root, "table.json"), "w") as f:
+        _json.dump(t.config, f)
+    out3 = t.maintain(run_ts=TS, target_file_bytes=32 * 1024 * 1024)
+    assert "rewrite_stats" in out3
+    out4 = t.maintain(run_ts=TS, target_file_bytes=32 * 1024 * 1024)
+    assert "rewrite_stats" not in out4  # coverage restored
+
+    n = t.scan().count()
+    assert n == 2000
