@@ -1637,6 +1637,59 @@ def q46_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                            ascending=[False, True]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q47
+
+
+def q47_intersect_except(sf_dir: str) -> pd.DataFrame:
+    """Set operations INTERSECT / EXCEPT over derived key sets (buyers in
+    1995 vs buyers in 2001): one distributed distinct over (custkey, year
+    flag) pairs, then a per-customer indicator-OR and a three-int global
+    rollup — the sets themselves never materialize anywhere."""
+
+    def flags(t: pa.Table) -> pa.Table:
+        yr = t["o_orderdate"].to_pandas().dt.year.to_numpy(np.int32)
+        keep = (yr == 1995) | (yr == 2001)
+        if not keep.any():
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "in95": pa.array([], pa.int64()),
+                             "in01": pa.array([], pa.int64())})
+        ck = np.asarray(t["o_custkey"])[keep]
+        y95 = (yr[keep] == 1995).astype(np.int64)
+        return (
+            pa.table({"o_custkey": pa.array(ck), "in95": pa.array(y95),
+                      "in01": pa.array(1 - y95)})
+            .group_by("o_custkey")
+            .aggregate([("in95", "max"), ("in01", "max")])
+            .rename_columns(["o_custkey", "in95", "in01"])
+        )
+
+    per_cust = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("in95", alias_name="in95"), Max("in01", alias_name="in01"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["in95"], np.int64)
+        b = np.asarray(t["in01"], np.int64)
+        return pa.table({
+            "p_95": pa.array([int(a.sum())]),
+            "p_01": pa.array([int(b.sum())]),
+            "p_both": pa.array([int((a & b).sum())]),
+        })
+
+    out = per_cust.map_batches(rollup, batch_format="pyarrow").aggregate(
+        Sum("p_95", alias_name="n95"), Sum("p_01", alias_name="n01"),
+        Sum("p_both", alias_name="nb"),
+    )
+    n95, n01, nb = int(out["n95"]), int(out["n01"]), int(out["nb"])
+    return pd.DataFrame([{
+        "n_1995": n95, "n_2001": n01, "n_both": nb,
+        "n_only_1995": n95 - nb, "n_only_2001": n01 - nb,
+    }])
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2036,6 +2089,23 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "q47_intersect_except": """
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1995),
+             b AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 2001)
+        SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_1995,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS n_2001,
+               CAST((SELECT count(*) FROM
+                     (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
+                 AS n_both,
+               CAST((SELECT count(*) FROM
+                     (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT)
+                 AS n_only_1995,
+               CAST((SELECT count(*) FROM
+                     (SELECT * FROM b EXCEPT SELECT * FROM a)) AS BIGINT)
+                 AS n_only_2001
+    """,
     "q46_heavy_hitters": """
         -- exact regime (5 distinct types << k=64): sketch counts == truth
         SELECT event_type, count(*) AS n
@@ -2163,4 +2233,5 @@ SQL_QUERIES = {
     "q44_division_loyal_customers": q44_division_loyal_customers,
     "q45_segment_status_agg": q45_segment_status_agg,
     "q46_heavy_hitters": q46_heavy_hitters,
+    "q47_intersect_except": q47_intersect_except,
 }

@@ -135,3 +135,25 @@ def test_identical_snapshots_empty(table):
 def test_unknown_snapshot_raises(table):
     with pytest.raises(ValueError):
         table.change_feed(9999)
+
+
+def test_change_feed_on_partitioned_table(tmp_path):
+    """CDC works over Hive-partitioned tables: the partition columns are
+    re-attached from manifest values before rows are compared."""
+    t = LakeTable.create(str(tmp_path / "p"), partition_cols=("lang",))
+    base = make_source_files(300, seed=51)
+    t.append(base, run_ts=TS)
+    s1 = t.store.head_id()
+    t.compact(target_file_bytes=32 * 1024 * 1024, run_ts=TS)
+    assert t.change_feed(s1, key_cols=KEY).count() == 0
+    upd = base.slice(0, 6).set_column(
+        4, "content",
+        pa.array([f"partitioned rewrite {i}\n" for i in range(6)],
+                 pa.large_string()),
+    )
+    s2 = t.store.head_id()
+    t.merge(upd, run_ts="2024-01-02T00:00:00")
+    df = t.change_feed(s2, key_cols=KEY).to_pandas()
+    c = collections.Counter(df["_change"])
+    assert c == {"update": 6}
+    assert set(df.columns) >= {"repo", "path", "commit", "lang", "content"}
