@@ -77,10 +77,15 @@ def _reconcile_batch(
     renames: dict[str, str],
     defaults: dict[str, Any],
     want: tuple[str, ...],
+    attach: tuple = (),
 ) -> pa.Table:
     """Reconcile a (possibly pre-evolution) batch to the ``want`` subset of
     the evolved schema: rename old->new, default/null-fill added columns,
-    cast widened types.  Arrow-kernel only — no row loops."""
+    cast widened types.  ``attach`` prepends constant (Hive partition)
+    columns absent from the physical files.  Arrow-kernel only — no row
+    loops."""
+    for name, val in attach:
+        t = t.append_column(name, pa.repeat(pa.scalar(val, pa.string()), len(t)))
     target = _cached_schema(schema_json)
     if renames:
         new_names = [renames.get(n, n) for n in t.column_names]
@@ -555,11 +560,14 @@ class LakeTable:
         (rename / default-fill / cast per batch) and :meth:`compact`
         physically upgrades them.  Time travel to a pre-evolution snapshot
         sees the old schema, spec-free.  Defaults must be JSON-serializable
-        scalars.  Flat tables only (Hive layout couples directories to the
-        physical schema)."""
-        if self.partition_cols:
+        scalars.  On Hive-partitioned tables add/widen/rename work for DATA
+        columns; PARTITION columns are immutable (their names/values ARE the
+        directory layout and the manifest pruning key)."""
+        blocked = (set(rename or {}) | set(widen or {})) & set(self.partition_cols)
+        if blocked:
             raise NotImplementedError(
-                "schema evolution is not supported on Hive-partitioned tables"
+                f"cannot evolve partition column(s) {sorted(blocked)}: the "
+                "Hive layout and partition pruning key on them"
             )
         head = self.store.head()
         if head is None or head.schema_json is None:
@@ -628,20 +636,28 @@ class LakeTable:
         predicate: "Predicate | None",
         spec: dict,
         schema_json: str,
+        attach: tuple = (),
+        defer_residue: bool = False,
         **read_kwargs,
-    ) -> "ray.data.Dataset":
+    ) -> "ray.data.Dataset | tuple":
         """Evolution-aware read: files are grouped by commit directory (all
         files of one commit share a physical schema — one footer read per
         DIR on the driver, not per file), each group reads only the physical
         columns backing the requested logical ones with the pushable subset
         of the predicate, and a reconcile map_batches renames / default-fills
         / casts to the evolved schema.  Predicate terms over columns a group
-        lacks (added columns) are applied post-reconcile."""
+        lacks (added columns) are applied post-reconcile.
+
+        ``attach``: constant Hive-partition columns for this file group.
+        ``defer_residue=True`` returns ``(dataset, dropped_pred)`` and skips
+        the residue filter so a partitioned caller unions groups first."""
         renames = dict(spec.get("renames") or {})
         defaults = dict(spec.get("defaults") or {})
         inv = {new: old for old, new in renames.items()}
         target = _cached_schema(schema_json)
         want = list(columns) if columns is not None else list(target.names)
+        attach = tuple((c, v) for c, v in attach if c in want)
+        attached_names = {c for c, _ in attach}
         dirs: dict[str, list[DataFile]] = {}
         for f in files:
             dirs.setdefault(os.path.dirname(f.path), []).append(f)
@@ -650,7 +666,8 @@ class LakeTable:
         for _d, fs in sorted(dirs.items()):
             phys = set(pq.read_schema(self.abs(fs[0].path)).names)
             read_cols = [c if c in phys else inv[c] for c in want
-                         if c in phys or inv.get(c) in phys]
+                         if c not in attached_names
+                         and (c in phys or inv.get(c) in phys)]
             sub_pred = []
             for col, op, val in predicate or []:
                 p = col if col in phys else inv.get(col)
@@ -668,11 +685,14 @@ class LakeTable:
             ).map_batches(
                 _reconcile_batch,
                 fn_kwargs={"schema_json": schema_json, "renames": renames,
-                           "defaults": defaults, "want": tuple(want)},
+                           "defaults": defaults, "want": tuple(want),
+                           "attach": attach},
                 batch_format="pyarrow",
             )
             parts.append(ds)
         out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        if defer_residue:
+            return out, dropped_pred
         if dropped_pred and predicate:
             out = out.map_batches(
                 _apply_predicate_batch,
@@ -707,9 +727,42 @@ class LakeTable:
             evolution = self._evolution()
         if evolution is not None:
             spec, schema_json = evolution
-            return self._read_files_evolved(
-                files, columns, predicate, spec, schema_json, **read_kwargs
-            )
+            if not any(f.partition for f in files):
+                return self._read_files_evolved(
+                    files, columns, predicate, spec, schema_json, **read_kwargs
+                )
+            # partitioned + evolved: per-partition-value groups, each read
+            # through the evolved path with its manifest values attached;
+            # the residue predicate applies once over the union
+            pcols = list(self.partition_cols)
+            row_pred = [p for p in (predicate or []) if p[0] not in pcols] or None
+            groups: dict[tuple, list[DataFile]] = {}
+            for f in files:
+                groups.setdefault(
+                    tuple(f.partition.get(c) for c in pcols), []).append(f)
+            parts, residue = [], False
+            for vals, fs in sorted(groups.items(), key=lambda kv: str(kv[0])):
+                flat = all(v is None for v in vals)
+                attach = () if flat else tuple(
+                    (c, v) for c, v in zip(pcols, vals))
+                ds, dropped = self._read_files_evolved(
+                    fs, columns,
+                    predicate if flat else row_pred,
+                    spec, schema_json, attach=attach, defer_residue=True,
+                    **read_kwargs,
+                )
+                parts.append(ds)
+                residue = residue or dropped
+            out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            if residue and predicate:
+                # partition values are attached by now, so the FULL predicate
+                # evaluates correctly over both hive and flat groups
+                out = out.map_batches(
+                    _apply_predicate_batch,
+                    fn_kwargs={"predicate": list(predicate)},
+                    batch_format="pyarrow",
+                )
+            return out
         if not any(f.partition for f in files):
             return ray.data.read_parquet(
                 [self.abs(f.path) for f in files],
@@ -842,7 +895,11 @@ class LakeTable:
                 "schema_json": sjson,
                 "renames": dict(spec.get("renames") or {}),
                 "defaults": dict(spec.get("defaults") or {}),
-                "want": tuple(_cached_schema(sjson).names),
+                # partition columns stay OUT of the physical files (Hive
+                # layout; manifest values re-attach them at scan) — writing
+                # them null-filled would shadow the real values
+                "want": tuple(c for c in _cached_schema(sjson).names
+                              if c not in self.partition_cols),
             }
         # bins never cross partition boundaries, so each output file keeps a
         # single (exact) partition value set in the manifest

@@ -124,11 +124,46 @@ def test_merge_after_evolution(table):
     assert set(got["stars"].to_pylist()) == {0, 1}
 
 
-def test_evolution_rejected_on_partitioned(tmp_path):
+def test_partition_columns_are_immutable(tmp_path):
     t = LakeTable.create(str(tmp_path / "p"), partition_cols=("lang",))
     t.append(make_source_files(50, seed=1), run_ts=TS)
     with pytest.raises(NotImplementedError):
-        t.evolve_schema(add={"x": pa.int64()}, run_ts=TS)
+        t.evolve_schema(rename={"lang": "language"}, run_ts=TS)
+    with pytest.raises(NotImplementedError):
+        t.evolve_schema(widen={"lang": pa.large_string()}, run_ts=TS)
+
+
+def test_partitioned_table_evolution(tmp_path):
+    """Add + data-column rename on a Hive-partitioned table: old files
+    reconcile with manifest partition values attached; partition pruning
+    still exact; compact upgrades without materializing partition cols."""
+    t = LakeTable.create(str(tmp_path / "p"), partition_cols=("lang",))
+    base = make_source_files(200, seed=13)
+    t.append(base.slice(0, 100), run_ts=TS)
+    t.append(base.slice(100, 100), run_ts=TS)  # 2 files/partition -> bins
+    n_py = t.scan(predicate=[("lang", "==", "py")]).count()
+    t.evolve_schema(add={"stars": (pa.int64(), 4)},
+                    rename={"path": "filepath"}, run_ts=TS)
+    got = t.to_arrow()
+    assert len(got) == 200
+    assert set(got["stars"].to_pylist()) == {4}
+    assert "filepath" in got.column_names and "path" not in got.column_names
+    assert got["lang"].null_count == 0  # partition values attached
+    # partition pruning + predicate on the renamed data column
+    assert t.scan(predicate=[("lang", "==", "py")]).count() == n_py
+    got_py = t.to_arrow(predicate=[("lang", "==", "py"), ("stars", "==", 4)])
+    assert len(got_py) == n_py
+    # compact keeps content, upgrades files, leaves partition cols virtual
+    fp0 = t.content_fingerprint(("repo", "filepath", "lang", "stars"))
+    t.compact(target_file_bytes=64 * 1024 * 1024, run_ts=TS)
+    assert t.content_fingerprint(("repo", "filepath", "lang", "stars")) == fp0
+    import pyarrow.parquet as _pq
+
+    compacted = [f for f in t.files() if "compacted-" in f.path]
+    assert compacted, "no bins formed; fixture needs 2+ files per partition"
+    phys = _pq.read_schema(t.abs(compacted[0].path))
+    assert "lang" not in phys.names          # still virtual (Hive)
+    assert "stars" in phys.names and "filepath" in phys.names
 
 
 def test_random_evolution_sequences_preserve_content(tmp_path):
