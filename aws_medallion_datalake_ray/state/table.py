@@ -125,16 +125,31 @@ _PRED_OPS = {
 }
 
 
-def _apply_predicate_batch(t: pa.Table, *, predicate: list) -> pa.Table:
-    """Batch-side predicate evaluation for terms that could not be pushed
-    into the parquet read (e.g. columns synthesized by schema evolution)."""
+def _predicate_mask(t: pa.Table, predicate: list):
     mask = None
     for col, op, val in predicate:
         c = t[col]
         e = (pc.is_in(c, value_set=pa.array(list(val))) if op == "in"
              else _PRED_OPS[op](c, val))
         mask = e if mask is None else pc.and_kleene(mask, e)
+    return mask
+
+
+def _apply_predicate_batch(t: pa.Table, *, predicate: list) -> pa.Table:
+    """Batch-side predicate evaluation for terms that could not be pushed
+    into the parquet read (e.g. columns synthesized by schema evolution)."""
+    mask = _predicate_mask(t, predicate)
     return t.filter(mask) if mask is not None else t
+
+
+def _apply_inverted_predicate_batch(t: pa.Table, *, predicate: list) -> pa.Table:
+    """Keep rows NOT matching the predicate (DELETE survivors); null
+    comparisons keep the row (a null can't be proven to match)."""
+    mask = _predicate_mask(t, predicate)
+    if mask is None:
+        return t
+    inv = pc.invert(pc.fill_null(mask, False))
+    return t.filter(inv)
 
 
 def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[DataFile]:
@@ -183,6 +198,35 @@ def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[Data
         if keep:
             out.append(f)
     return out
+
+
+def predicate_covers_file(f: DataFile, predicate: Predicate) -> bool:
+    """True when partition values / min-max stats PROVE that every row of
+    ``f`` satisfies the (conjunctive) predicate — the metadata-only DELETE
+    fast path.  Conservative: any missing bound -> False."""
+    if not predicate:
+        return False
+    for col, op, val in predicate:
+        pv = f.partition.get(col) if f.partition else None
+        if pv is not None and op == "==" and str(val) == pv:
+            continue
+        if pv is not None and op == "in" and pv in {str(v) for v in val}:
+            continue
+        st = f.stats.get(col) or {}
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None or st.get("nulls", 0):
+            return False
+        ok = {
+            "==": lo == hi == val,
+            "in": lo == hi and lo in set(val),
+            "<": hi < val,
+            "<=": hi <= val,
+            ">": lo > val,
+            ">=": lo >= val,
+        }.get(op, False)
+        if not ok:
+            return False
+    return True
 
 
 def predicate_to_expr(predicate: Predicate | None):
@@ -1325,6 +1369,60 @@ class LakeTable:
             if not dirnames and not filenames and dirpath != self.data_dir:
                 os.rmdir(dirpath)
         return deleted
+
+    def delete_where(
+        self,
+        predicate: Predicate,
+        run_ts: str = "1970-01-01T00:00:00",
+        job_id: str | None = None,
+    ) -> dict[str, Any]:
+        """DELETE FROM t WHERE <conjunctive predicate> — copy-on-write with
+        two pruning tiers:
+
+        1. files the manifest PROVES fully match (partition values / min-max
+           cover every term) drop with NO data IO — the metadata-only path
+           that makes partition-scoped deletes O(manifest) at 100 TB;
+        2. files that may partially match rewrite through an inverted
+           filter; everything else is untouched.
+        """
+        if not predicate:
+            raise ValueError("delete_where requires a predicate")
+        files = self.files()
+        candidates = prune_files(files, predicate)
+        full = [f for f in candidates if predicate_covers_file(f, predicate)]
+        partial = [f for f in candidates if not predicate_covers_file(f, predicate)]
+        if not candidates:
+            return {"rows_deleted": 0, "files_dropped": 0, "files_rewritten": 0}
+        job_id = job_id or f"delete-where-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op="delete-where", run_ts=run_ts)
+        added: list[DataFile] = []
+        rows_partial_in = sum(f.rows for f in partial)
+        rows_out = 0
+        if partial:
+            survivors = self._read_files(partial).map_batches(
+                _apply_inverted_predicate_batch,
+                fn_kwargs={"predicate": list(predicate)},
+                batch_format="pyarrow",
+            )
+            added = self._write_dataset(
+                survivors, min_rows_per_file=self._coalesce_rows_target(partial)
+            )
+            rows_out = sum(f.rows for f in added)
+        removed = [f.path for f in full] + [f.path for f in partial]
+        rows_deleted = sum(f.rows for f in full) + (rows_partial_in - rows_out)
+        ledger.mark_completed(
+            "delete-where", removed, [f.path for f in added],
+            {"rows_deleted": rows_deleted},
+        )
+        self.store.commit(
+            added, removed, "delete-where", run_ts,
+            schema_json=self._commit_file_schema(added),
+            summary={"rows_deleted": rows_deleted,
+                     "files_dropped_metadata_only": len(full)},
+        )
+        ledger.finish()
+        return {"rows_deleted": rows_deleted, "files_dropped": len(full),
+                "files_rewritten": len(partial), "files_out": len(added)}
 
     def maintain(
         self,

@@ -443,3 +443,40 @@ def test_maintain_autopilot(tmp_path, ray_session):
 
     n = t.scan().count()
     assert n == 2000
+
+
+def test_delete_where(tmp_path, ray_session):
+    """Predicate DELETE: exact rows removed; a partition fully covered by
+    the predicate drops with NO rewrite (metadata-only path)."""
+    from aws_medallion_datalake_ray.sources.fixtures import make_source_files
+
+    t = LakeTable.create(str(tmp_path / "dw"), partition_cols=("lang",))
+    base = make_source_files(600, seed=23)
+    t.append(base, run_ts=TS)
+    langs = base["lang"].to_pylist()
+    victim = max(set(langs), key=langs.count)
+    n_victim = langs.count(victim)
+    n_files_before = len(t.files())
+
+    out = t.delete_where([("lang", "==", victim)], run_ts=TS)
+    assert out["rows_deleted"] == n_victim
+    assert out["files_dropped"] >= 1      # whole-partition metadata drop
+    assert out["files_rewritten"] == 0    # nothing partially matched
+    assert t.scan().count() == 600 - n_victim
+    assert t.scan(predicate=[("lang", "==", victim)]).count() == 0
+
+    # partial-match delete on a flat table: only affected files rewrite
+    t2 = LakeTable.create(str(tmp_path / "dw2"))
+    t2.append(base, run_ts=TS)
+    repos = base["repo"].to_pylist()
+    hot = repos[0]
+    n_hot = repos.count(hot)
+    out2 = t2.delete_where([("repo", "==", hot)], run_ts=TS)
+    assert out2["rows_deleted"] == n_hot
+    assert t2.scan().count() == 600 - n_hot
+    got = t2.to_arrow(columns=["repo"])
+    assert hot not in set(got["repo"].to_pylist())
+
+    # empty-match predicate is a no-op
+    out3 = t2.delete_where([("repo", "==", "zz/none")], run_ts=TS)
+    assert out3["rows_deleted"] == 0
