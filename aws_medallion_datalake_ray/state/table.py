@@ -1424,6 +1424,65 @@ class LakeTable:
         return {"rows_deleted": rows_deleted, "files_dropped": len(full),
                 "files_rewritten": len(partial), "files_out": len(added)}
 
+    def update_where(
+        self,
+        predicate: Predicate,
+        set_values: dict[str, Any],
+        run_ts: str = "1970-01-01T00:00:00",
+        job_id: str | None = None,
+    ) -> dict[str, Any]:
+        """UPDATE t SET col=const, ... WHERE <predicate> — the last DML verb
+        (INSERT=append, UPSERT=merge, DELETE=delete_where/delete_keys):
+        stats-pruned copy-on-write, matching rows get the constants via one
+        vectorized ``if_else`` per column, non-matching rows pass through
+        byte-identical.  Partition columns cannot be SET (that is a MOVE
+        between partitions — express it as delete_where + append)."""
+        if not predicate:
+            raise ValueError("update_where requires a predicate")
+        bad = set(set_values) & set(self.partition_cols)
+        if bad:
+            raise ValueError(f"cannot SET partition column(s) {sorted(bad)}")
+        affected = prune_files(self.files(), predicate)
+        if not affected:
+            return {"rows_updated": 0, "files_rewritten": 0}
+        job_id = job_id or f"update-where-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op="update-where", run_ts=run_ts)
+
+        # exact match count first: a column-pruned, predicate-pushed read
+        # over the affected files only (touches the predicate columns)
+        pred_cols = sorted({c for c, _o, _v in predicate})
+        rows_updated = self._read_files(
+            affected, columns=pred_cols, predicate=predicate
+        ).count()
+        if rows_updated == 0:  # stats kept the files but no row matches
+            ledger.finish()
+            return {"rows_updated": 0, "files_rewritten": 0}
+
+        def apply(t: pa.Table, _pred=list(predicate), _set=dict(set_values)) -> pa.Table:
+            mask = pc.fill_null(_predicate_mask(t, _pred), False)
+            for col, val in _set.items():
+                idx = t.schema.get_field_index(col)
+                typ = t.schema.field(col).type
+                t = t.set_column(
+                    idx, col, pc.if_else(mask, pa.scalar(val, typ), t.column(idx))
+                )
+            return t
+
+        added = self._write_dataset(
+            self._read_files(affected).map_batches(apply, batch_format="pyarrow"),
+            min_rows_per_file=self._coalesce_rows_target(affected),
+        )
+        removed = [f.path for f in affected]
+        ledger.mark_completed("update-where", removed, [f.path for f in added], {})
+        self.store.commit(
+            added, removed, "update-where", run_ts,
+            schema_json=self._commit_file_schema(added),
+            summary={"set_cols": sorted(set_values)},
+        )
+        ledger.finish()
+        return {"rows_updated": rows_updated, "files_rewritten": len(affected),
+                "files_out": len(added)}
+
     def maintain(
         self,
         run_ts: str = "1970-01-01T00:00:00",

@@ -480,3 +480,36 @@ def test_delete_where(tmp_path, ray_session):
     # empty-match predicate is a no-op
     out3 = t2.delete_where([("repo", "==", "zz/none")], run_ts=TS)
     assert out3["rows_deleted"] == 0
+
+
+def test_update_where(tmp_path, ray_session):
+    """Predicate UPDATE: matching rows get the constants, everything else is
+    byte-identical; partition columns refuse SET."""
+    from aws_medallion_datalake_ray.sources.fixtures import make_source_files
+
+    t = LakeTable.create(str(tmp_path / "uw"))
+    base = make_source_files(400, seed=29)
+    t.append(base, run_ts=TS)
+    langs = base["lang"].to_pylist()
+    victim = max(set(langs), key=langs.count)
+    n_victim = langs.count(victim)
+    fp_others_before = None
+
+    out = t.update_where([("lang", "==", victim)],
+                         {"content": "REDACTED\n"}, run_ts=TS)
+    assert out["rows_updated"] == n_victim
+    got = t.to_arrow()
+    assert len(got) == 400
+    changed = got.filter(pa.compute.equal(got["lang"], victim))
+    assert set(changed["content"].to_pylist()) == {"REDACTED\n"}
+    # untouched rows keep their exact content
+    keep = got.filter(pa.compute.not_equal(got["lang"], victim))
+    orig = base.filter(pa.compute.not_equal(base["lang"], victim))
+    assert sorted(keep["content"].to_pylist()) == sorted(orig["content"].to_pylist())
+
+    p = LakeTable.create(str(tmp_path / "uwp"), partition_cols=("lang",))
+    p.append(base, run_ts=TS)
+    with pytest.raises(ValueError):
+        p.update_where([("repo", "==", "x")], {"lang": "zz"}, run_ts=TS)
+    assert p.update_where([("repo", "==", "no/such")], {"content": "x"},
+                          run_ts=TS)["rows_updated"] == 0
