@@ -82,6 +82,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--cols", default="repo,path,commit,lang,content")
 
+    p = add("delete-where")
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", action="append", required=True,
+                   help="col:op:value term (repeatable, ANDed); op in ==,<,<=,>,>=")
+
+    p = add("update-where")
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", action="append", required=True)
+    p.add_argument("--set", action="append", required=True,
+                   help="col=value (repeatable)")
+
     p = add("maintain")
     p.add_argument("--table", required=True)
     p.add_argument("--target-mb", type=int, default=128)
@@ -151,6 +162,28 @@ def main(argv: list[str] | None = None) -> int:
             out["checksum"] = t.content_checksum(cols)
             out["rows"] = sum(f.rows for f in t.files())
             out["files"] = len(t.files())
+        elif args.cmd in ("delete-where", "update-where"):
+            def _coerce(v: str):
+                for cast in (int, float):
+                    try:
+                        return cast(v)
+                    except ValueError:
+                        pass
+                return v
+
+            pred = []
+            for term in args.where:
+                col, op, val = term.split(":", 2)
+                pred.append((col, op, _coerce(val)))
+            t = _table(args.table)
+            if args.cmd == "delete-where":
+                out |= t.delete_where(pred, run_ts=args.run_ts)
+            else:
+                sets = {}
+                for pair in args.set:
+                    k, _, v = pair.partition("=")
+                    sets[k] = _coerce(v)
+                out |= t.update_where(pred, sets, run_ts=args.run_ts)
         elif args.cmd == "maintain":
             out["actions"] = _table(args.table).maintain(
                 run_ts=args.run_ts, target_file_bytes=args.target_mb << 20,
