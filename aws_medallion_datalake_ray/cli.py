@@ -192,14 +192,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "evolve-schema":
             import pyarrow as _pa
 
+            def _parse_default(raw: str):
+                if raw.lower() in ("true", "false"):
+                    return raw.lower() == "true"
+                for cast in (int, float):
+                    try:
+                        return cast(raw)
+                    except ValueError:
+                        pass
+                return raw
+
             add_spec: dict = {}
             for part in filter(None, (args.add or "").split(",")):
                 bits = part.split(":")
                 dtype = _pa.type_for_alias(bits[1])
                 if len(bits) > 2:
-                    default = _pa.scalar(bits[2], dtype).as_py() if not bits[2].lstrip(
-                        "-").isdigit() else int(bits[2])
-                    add_spec[bits[0]] = (dtype, default)
+                    add_spec[bits[0]] = (dtype, _parse_default(bits[2]))
                 else:
                     add_spec[bits[0]] = dtype
             ren = dict(p.split("=") for p in filter(None, (args.rename or "").split(",")))

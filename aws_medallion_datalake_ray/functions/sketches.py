@@ -138,28 +138,32 @@ def heavy_hitters_aggregate(col: str, k: int = 64):
     class HeavyHitters(AggregateFnV2):
         def __init__(self):
             super().__init__(
-                name="heavy_hitters", zero_factory=dict,
+                name="heavy_hitters", zero_factory=lambda: (0, {}),
                 on=None, ignore_nulls=True,
             )
 
         def aggregate_block(self, block):
             tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
             vc = pa.chunked_array([tbl[col]]).combine_chunks().value_counts()
-            return mg_from_counts(
-                vc.field("values").to_pylist(), vc.field("counts").to_pylist(), k
+            return (
+                len(tbl),  # true scanned rows ride along for min_share
+                mg_from_counts(vc.field("values").to_pylist(),
+                               vc.field("counts").to_pylist(), k),
             )
 
         def combine(self, a, b):
-            return mg_merge(a, b, k)
+            return (a[0] + b[0], mg_merge(a[1], b[1], k))
 
     return HeavyHitters()
 
 
 def hot_keys(ds, col: str, k: int = 64, min_share: float = 0.0) -> list[tuple]:
     """(value, lower-bound count) list sorted descending — candidates for
-    shuffle salting.  ``min_share`` filters to values whose count bound
-    exceeds that fraction of the scanned rows."""
-    summary = ds.aggregate(heavy_hitters_aggregate(col, k))["heavy_hitters"]
-    total = sum(summary.values()) or 1
+    shuffle salting.  ``min_share`` filters to values whose count LOWER
+    BOUND exceeds that fraction of the true scanned row count (tracked
+    alongside the summary — MG counters are decremented in the >k regime,
+    so their sum understates n)."""
+    n_rows, summary = ds.aggregate(heavy_hitters_aggregate(col, k))["heavy_hitters"]
+    total = n_rows or 1
     out = [(v, c) for v, c in summary.items() if c / total >= min_share]
     return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))

@@ -408,7 +408,11 @@ class ManifestStore:
         chain = self._head_chain()
         for snap in self.snapshots():
             if snap.snapshot_id not in chain:
-                keep.add(snap.snapshot_id)  # staged, pending audit
+                # ONLY explicitly staged snapshots survive off-chain — a
+                # fencing-aborted commit's orphan snap file must expire, or
+                # snapshots (and via GC-reachability, data files) leak
+                if (snap.summary or {}).get("staged"):
+                    keep.add(snap.snapshot_id)
             elif older_than is not None and snap.ts >= older_than:
                 keep.add(snap.snapshot_id)
         kept_manifests: set[str] = set()

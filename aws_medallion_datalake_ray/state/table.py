@@ -627,6 +627,12 @@ class LakeTable:
                 raise KeyError(f"rename source {old!r} not in schema")
             if new in names:
                 raise ValueError(f"rename target {new!r} already exists")
+            if new in renames:
+                raise ValueError(
+                    f"rename target {new!r} collides with a historical "
+                    "rename source (old files still carry that physical "
+                    "name); compact the table first to retire it"
+                )
             i = names.index(old)
             fields[i] = pa.field(new, fields[i].type)
             names[i] = new
@@ -644,6 +650,12 @@ class LakeTable:
         for col, spec in (add or {}).items():
             if col in names:
                 raise ValueError(f"added column {col!r} already exists")
+            if col in renames:
+                raise ValueError(
+                    f"added column {col!r} collides with a historical rename "
+                    f"source (old files still carry that physical name); "
+                    "compact the table first to retire the old name"
+                )
             dtype, default = spec if isinstance(spec, tuple) else (spec, None)
             if default is not None:
                 pa.scalar(default, dtype)  # validate early
@@ -697,7 +709,21 @@ class LakeTable:
         the residue filter so a partitioned caller unions groups first."""
         renames = dict(spec.get("renames") or {})
         defaults = dict(spec.get("defaults") or {})
-        inv = {new: old for old, new in renames.items()}
+        # inverse rename is one-to-MANY: chained renames (a->c recorded as
+        # both a->c and b->c) mean several physical names can back one
+        # logical column; per file group, whichever old name exists wins
+        inv: dict[str, list[str]] = {}
+        for old, new in renames.items():
+            inv.setdefault(new, []).append(old)
+
+        def _phys_name(logical: str, phys: set) -> str | None:
+            if logical in phys:
+                return logical
+            for old in inv.get(logical, ()):
+                if old in phys:
+                    return old
+            return None
+
         target = _cached_schema(schema_json)
         want = list(columns) if columns is not None else list(target.names)
         attach = tuple((c, v) for c, v in attach if c in want)
@@ -709,13 +735,17 @@ class LakeTable:
         dropped_pred = False
         for _d, fs in sorted(dirs.items()):
             phys = set(pq.read_schema(self.abs(fs[0].path)).names)
-            read_cols = [c if c in phys else inv[c] for c in want
-                         if c not in attached_names
-                         and (c in phys or inv.get(c) in phys)]
+            read_cols = []
+            for c in want:
+                if c in attached_names:
+                    continue
+                p = _phys_name(c, phys)
+                if p is not None:
+                    read_cols.append(p)
             sub_pred = []
             for col, op, val in predicate or []:
-                p = col if col in phys else inv.get(col)
-                if p in phys:
+                p = _phys_name(col, phys)
+                if p is not None:
                     sub_pred.append((p, op, val))
                 else:
                     dropped_pred = True
@@ -784,7 +814,13 @@ class LakeTable:
             for f in files:
                 groups.setdefault(
                     tuple(f.partition.get(c) for c in pcols), []).append(f)
-            parts, residue = [], False
+            # non-==/in terms on partition columns can't prune exactly at the
+            # manifest; they evaluate in the residue AFTER values attach (the
+            # non-evolved path raises instead — this path is strictly abler)
+            parts, residue = [], any(
+                p[0] in pcols and p[1] not in ("==", "in")
+                for p in predicate or []
+            )
             for vals, fs in sorted(groups.items(), key=lambda kv: str(kv[0])):
                 flat = all(v is None for v in vals)
                 attach = () if flat else tuple(
@@ -1442,6 +1478,11 @@ class LakeTable:
         bad = set(set_values) & set(self.partition_cols)
         if bad:
             raise ValueError(f"cannot SET partition column(s) {sorted(bad)}")
+        sch = self.schema()
+        missing = [c for c in set_values
+                   if sch is None or sch.get_field_index(c) < 0]
+        if missing:
+            raise KeyError(f"SET column(s) not in schema: {sorted(missing)}")
         affected = prune_files(self.files(), predicate)
         if not affected:
             return {"rows_updated": 0, "files_rewritten": 0}

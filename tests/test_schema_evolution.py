@@ -56,7 +56,24 @@ def test_chained_rename(table):
     spec = table.store.head().summary["evolution"]
     assert spec["renames"]["lang"] == "lingua"
     assert spec["renames"]["language"] == "lingua"
-    assert "lingua" in table.to_arrow().column_names
+    got = table.to_arrow()
+    assert "lingua" in got.column_names
+    # pre-FIRST-rename files (physical name 'lang') must still resolve: the
+    # one-to-many inverse picks whichever historical name a file carries
+    assert got["lingua"].null_count == 0
+    assert len(table.to_arrow(predicate=[("lingua", "==", "py")])) > 0
+
+
+def test_add_of_historical_rename_source_rejected(table):
+    """Re-adding a renamed-away name would make old files carry the physical
+    name twice for the reader — refuse until compaction retires it."""
+    table.evolve_schema(rename={"lang": "language"}, run_ts=TS)
+    with pytest.raises(ValueError):
+        table.evolve_schema(add={"lang": (pa.string(), "x")}, run_ts=TS)
+    with pytest.raises(ValueError):
+        table.evolve_schema(rename={"repo": "lang"}, run_ts=TS)
+    # scans keep working after the rejected attempts
+    assert len(table.to_arrow()) == 300
 
 
 def test_widen_type(tmp_path):
@@ -159,6 +176,13 @@ def test_partitioned_table_evolution(tmp_path):
     assert t.content_fingerprint(("repo", "filepath", "lang", "stars")) == fp0
     import pyarrow.parquet as _pq
 
+    # range predicate on the partition column: exact via post-attach residue
+    # (the non-evolved path refuses it; the evolved path evaluates it)
+    langs = sorted(set(base["lang"].to_pylist()))
+    below = {v for v in langs if v < langs[len(langs) // 2]}
+    n_below = sum(1 for v in base["lang"].to_pylist() if v in below)
+    assert len(t.to_arrow(
+        predicate=[("lang", "<", langs[len(langs) // 2])])) == n_below
     compacted = [f for f in t.files() if "compacted-" in f.path]
     assert compacted, "no bins formed; fixture needs 2+ files per partition"
     phys = _pq.read_schema(t.abs(compacted[0].path))

@@ -83,3 +83,29 @@ def test_expire_keeps_staged_and_recent(table):
 def test_drop_staged_refuses_published(table):
     with pytest.raises(ValueError):
         table.drop_staged(table.store.head_id())
+
+
+def test_expire_reclaims_aborted_commit_orphans(table):
+    """An off-chain snap file WITHOUT the staged flag (e.g. a fencing-aborted
+    commit) must expire — only explicitly staged snapshots survive off-chain."""
+    import json
+    import os
+
+    staged = table.stage_append(make_source_files(5, seed=98), run_ts=TS)
+    # forge an aborted-commit orphan: an off-chain snapshot with no flag
+    d = table.store.dir
+    with open(os.path.join(d, f"snap-{staged.snapshot_id}.json")) as f:
+        orphan = json.load(f)
+    orphan["snapshot_id"] = staged.snapshot_id + 50
+    orphan["summary"] = {k: v for k, v in orphan["summary"].items()
+                         if k != "staged"}
+    with open(os.path.join(d, f"snap-{orphan['snapshot_id']}.json"), "w") as f:
+        json.dump(orphan, f)
+
+    for i in range(3):
+        table.append(make_source_files(5, seed=300 + i), run_ts=TS)
+    expired = table.expire_snapshots(keep_last=2)
+    ids = {s.snapshot_id for s in table.store.snapshots()}
+    assert orphan["snapshot_id"] not in ids       # orphan reclaimed
+    assert staged.snapshot_id in ids              # real staged load kept
+    assert orphan["snapshot_id"] in expired
