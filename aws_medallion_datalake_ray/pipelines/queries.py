@@ -1690,6 +1690,84 @@ def q47_intersect_except(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+# ---------------------------------------------------------------- q48
+
+
+def q48_unpivot_part_attrs(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt (wide -> long): each part row explodes into one row per
+    measured attribute inside map_batches (the relational cousin of the M15
+    JSON explode — output has more rows than input, still fully vectorized:
+    two column-slices concatenated, never a per-row loop), then a grouped
+    rollup over (attr) proves the long form."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys = pa.chunked_array([t["p_partkey"]]).combine_chunks()
+        size_c = np.asarray(t["p_size"], dtype=np.int64) * 100
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["p_retailprice"], pa.scalar(100.0))),
+                    pa.int64()))
+        long = pa.table({
+            "p_partkey": pa.chunked_array([keys, keys]),
+            "attr": pa.array(["size"] * n + ["retailprice"] * n),
+            "value_c": pa.array(np.concatenate([size_c, price_c])),
+        })
+        return (long.group_by("attr")
+                .aggregate([("value_c", "sum"), ("value_c", "count")])
+                .rename_columns(["attr", "p_c", "p_n"]))
+
+    out = (
+        ds.map_batches(melt, batch_format="pyarrow")
+        .groupby("attr")
+        .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_value"] = (out["c"] / 100.0).round(2)
+    out["n_values"] = out["n"].astype("int64")
+    return out[["attr", "sum_value", "n_values"]].sort_values(
+        "attr").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q49
+
+
+def q49_filtered_aggregates(sf_dir: str) -> pd.DataFrame:
+    """FILTER-clause aggregation (one scan, many conditionally-masked sums):
+    per order-priority, revenue split by order status computed with masked
+    integer-cent sums inside a single map_batches partial — three filtered
+    aggregates cost one pass, not three."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        z = pa.scalar(0, pa.int64())
+        cols = {"o_orderpriority": t["o_orderpriority"],
+                "p_n": pa.array(np.ones(len(t), np.int64))}
+        for status, name in (("F", "c_f"), ("O", "c_o"), ("P", "c_p")):
+            cols[name] = pc.if_else(
+                pc.equal(t["o_orderstatus"], status), cents, z)
+        return (pa.table(cols).group_by("o_orderpriority")
+                .aggregate([("c_f", "sum"), ("c_o", "sum"), ("c_p", "sum"),
+                            ("p_n", "sum")])
+                .rename_columns(["o_orderpriority", "c_f", "c_o", "c_p", "p_n"]))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("c_f", alias_name="f"), Sum("c_o", alias_name="o"),
+                   Sum("c_p", alias_name="p"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    for src, dst in (("f", "rev_f"), ("o", "rev_o"), ("p", "rev_p")):
+        out[dst] = (out[src] / 100.0).round(2)
+    out["n_orders"] = out["n"].astype("int64")
+    return out[["o_orderpriority", "rev_f", "rev_o", "rev_p", "n_orders"]] \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2089,6 +2167,32 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "q48_unpivot_part_attrs": """
+        SELECT attr, round(sum(value_c) / 100.0, 2) AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_values
+        FROM (
+            SELECT p_partkey, 'size' AS attr,
+                   CAST(p_size AS BIGINT) * 100 AS value_c FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice',
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) FROM part
+        )
+        GROUP BY attr ORDER BY attr
+    """,
+    "q49_filtered_aggregates": """
+        SELECT o_orderpriority,
+               round(coalesce(sum(c) FILTER (o_orderstatus = 'F'), 0)
+                     / 100.0, 2) AS rev_f,
+               round(coalesce(sum(c) FILTER (o_orderstatus = 'O'), 0)
+                     / 100.0, 2) AS rev_o,
+               round(coalesce(sum(c) FILTER (o_orderstatus = 'P'), 0)
+                     / 100.0, 2) AS rev_p,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM (SELECT o_orderpriority, o_orderstatus,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+              FROM orders)
+        GROUP BY 1 ORDER BY 1
+    """,
     "q47_intersect_except": """
         WITH a AS (SELECT DISTINCT o_custkey FROM orders
                    WHERE year(o_orderdate) = 1995),
@@ -2234,4 +2338,6 @@ SQL_QUERIES = {
     "q45_segment_status_agg": q45_segment_status_agg,
     "q46_heavy_hitters": q46_heavy_hitters,
     "q47_intersect_except": q47_intersect_except,
+    "q48_unpivot_part_attrs": q48_unpivot_part_attrs,
+    "q49_filtered_aggregates": q49_filtered_aggregates,
 }
