@@ -405,6 +405,11 @@ class ManifestStore:
         loses reachable data.
         """
         keep = self.live_snapshot_ids(keep_last)
+        try:  # named tags pin their snapshots regardless of age/position
+            with open(os.path.join(self.dir, "tags.json")) as f:
+                keep |= set(json.load(f).values())
+        except FileNotFoundError:
+            pass
         chain = self._head_chain()
         for snap in self.snapshots():
             if snap.snapshot_id not in chain:

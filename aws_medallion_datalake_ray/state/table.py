@@ -1355,6 +1355,37 @@ class LakeTable:
         every staged-unpublished snapshot."""
         return self.store.expire(keep_last, older_than=older_than)
 
+    # ------------------------------------------------------------ tags
+
+    def tag_snapshot(self, name: str, snapshot_id: int | None = None) -> None:
+        """Named ref -> snapshot id (Iceberg tag semantics): pin releases /
+        eval sets ("train-v3") without holding a number.  Tagged snapshots
+        never expire; retention walks the tag file."""
+        sid = snapshot_id if snapshot_id is not None else self.store.head_id()
+        self.store.snapshot(sid)  # validate it exists
+        tags = self.tags()
+        tags[name] = sid
+        from aws_medallion_datalake_ray.state.manifest import atomic_write_json
+
+        atomic_write_json(os.path.join(self.store.dir, "tags.json"), tags)
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        from aws_medallion_datalake_ray.state.manifest import atomic_write_json
+
+        atomic_write_json(os.path.join(self.store.dir, "tags.json"), tags)
+
+    def tags(self) -> dict[str, int]:
+        try:
+            with open(os.path.join(self.store.dir, "tags.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def scan_tag(self, name: str, **kw) -> "ray.data.Dataset":
+        return self.scan(snapshot_id=self.tags()[name], **kw)
+
     # ------------------------------------------------------ write-audit-publish
 
     def stage_append(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
@@ -1385,9 +1416,11 @@ class LakeTable:
         """Abandon a staged snapshot; its files become GC-able orphans."""
         self.store.drop_staged(snapshot_id)
 
-    def gc_orphans(self) -> list[str]:
+    def gc_orphans(self, dry_run: bool = False) -> list[str]:
         """Delete data files unreachable from any live snapshot AND not
-        referenced by a running job's ledger (in-flight outputs stay)."""
+        referenced by a running job's ledger (in-flight outputs stay).
+        ``dry_run=True`` returns the would-be-deleted list without touching
+        anything — the audit step before a large vacuum."""
         reachable: set[str] = set()
         for snap in self.store.snapshots():
             reachable.update(f.path for f in self.store.files(snap))
@@ -1398,8 +1431,11 @@ class LakeTable:
                 abs_p = os.path.join(dirpath, name)
                 rel = os.path.relpath(abs_p, self.root)
                 if rel not in reachable:
-                    os.unlink(abs_p)
+                    if not dry_run:
+                        os.unlink(abs_p)
                     deleted.append(rel)
+        if dry_run:
+            return deleted
         # prune empty commit dirs
         for dirpath, dirnames, filenames in list(os.walk(self.data_dir, topdown=False)):
             if not dirnames and not filenames and dirpath != self.data_dir:

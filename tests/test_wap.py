@@ -109,3 +109,25 @@ def test_expire_reclaims_aborted_commit_orphans(table):
     assert orphan["snapshot_id"] not in ids       # orphan reclaimed
     assert staged.snapshot_id in ids              # real staged load kept
     assert orphan["snapshot_id"] in expired
+
+
+def test_tags_pin_snapshots(table):
+    """Named tags: scan by tag, retention never expires a tagged snapshot,
+    drop_tag releases it; gc dry-run previews without deleting."""
+    s1 = table.store.head_id()
+    table.tag_snapshot("train-v1")
+    for i in range(4):
+        table.append(make_source_files(5, seed=400 + i), run_ts=TS)
+    table.expire_snapshots(keep_last=1)
+    assert table.scan_tag("train-v1").count() == 200  # still readable
+    assert table.tags() == {"train-v1": s1}
+
+    table.drop_tag("train-v1")
+    table.compact(target_file_bytes=64 * 1024 * 1024, run_ts=TS)
+    table.expire_snapshots(keep_last=1)
+    preview = table.gc_orphans(dry_run=True)
+    assert preview  # the untagged old files are now orphans
+    import os
+    assert all(os.path.exists(table.abs(p)) for p in preview)  # untouched
+    deleted = table.gc_orphans()
+    assert sorted(deleted) == sorted(preview)
