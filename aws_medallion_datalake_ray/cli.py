@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--cols", default="repo,path,commit,lang,content")
 
+    p = add("tag")
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", default=None, help="omit to list tags")
+    p.add_argument("--snapshot-id", type=int, default=None)
+    p.add_argument("--drop", action="store_true")
+
     p = add("delete-where")
     p.add_argument("--table", required=True)
     p.add_argument("--where", action="append", required=True,
@@ -162,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
             out["checksum"] = t.content_checksum(cols)
             out["rows"] = sum(f.rows for f in t.files())
             out["files"] = len(t.files())
+        elif args.cmd == "tag":
+            t = _table(args.table)
+            if args.name and args.drop:
+                t.drop_tag(args.name)
+            elif args.name:
+                t.tag_snapshot(args.name, args.snapshot_id)
+            out["tags"] = t.tags()
         elif args.cmd in ("delete-where", "update-where"):
             def _coerce(v: str):
                 for cast in (int, float):
