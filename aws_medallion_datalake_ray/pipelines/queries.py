@@ -1768,6 +1768,63 @@ def q49_filtered_aggregates(sf_dir: str) -> pd.DataFrame:
         .sort_values("o_orderpriority").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q50
+
+
+def q50_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (users first active on day D still active
+    at D+k; the events fixture spans ~one month, so days are the cohort
+    grain): distinct (user, month) pairs distributed -> per-user first
+    month -> broadcast the small user->cohort map back -> (cohort, offset)
+    rollup with in-batch combiners.  Only distinct activity pairs shuffle;
+    the cohort map is user-cardinality (broadcast at test scale; at 10^9
+    users this side becomes a co-partitioned join like merge's fallback)."""
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        days = np.asarray(t["ts"]).astype("datetime64[D]").astype(np.int64)
+        return (
+            pa.table({"user_id": t["user_id"], "m": pa.array(days)})
+            .group_by(["user_id", "m"]).aggregate([])
+        )
+
+    pairs = exact_dedup(
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(day_pairs, batch_format="pyarrow"),
+        ("user_id", "m"), num_partitions=16,
+    )
+    first = (
+        pairs.groupby("user_id").aggregate(Min("m", alias_name="first_m"))
+        .to_pandas()
+    )
+    first_ref = ray.put(dict(zip(first["user_id"], first["first_m"])))
+
+    def rollup(t: pa.Table, ref=first_ref) -> pa.Table:
+        fm = ray.get(ref)
+        users = pd.Series(t["user_id"].to_pandas())
+        f = users.map(fm).to_numpy(np.int64)
+        m = np.asarray(t["m"], np.int64)
+        return (
+            pa.table({"cohort_m": pa.array(f), "day_offset": pa.array(m - f),
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["cohort_m", "day_offset"])
+            .aggregate([("p_n", "sum")])
+            .rename_columns(["cohort_m", "day_offset", "p_n"])
+        )
+
+    out = (
+        pairs.map_batches(rollup, batch_format="pyarrow")
+        .groupby(["cohort_m", "day_offset"])
+        .aggregate(Sum("p_n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["cohort"] = np.array(out["cohort_m"], "datetime64[D]").astype(str)
+    out["n_users"] = out["n_users"].astype("int64")
+    out["day_offset"] = out["day_offset"].astype("int64")
+    return out[["cohort", "day_offset", "n_users"]].sort_values(
+        ["cohort", "day_offset"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2167,6 +2224,16 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "q50_cohort_retention": """
+        WITH um AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS m
+                    FROM events),
+             f AS (SELECT user_id, min(m) AS cm FROM um GROUP BY 1)
+        SELECT strftime(f.cm, '%Y-%m-%d') AS cohort,
+               CAST(datediff('day', f.cm, um.m) AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM um JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "q48_unpivot_part_attrs": """
         SELECT attr, round(sum(value_c) / 100.0, 2) AS sum_value,
                CAST(count(*) AS BIGINT) AS n_values
@@ -2340,4 +2407,5 @@ SQL_QUERIES = {
     "q47_intersect_except": q47_intersect_except,
     "q48_unpivot_part_attrs": q48_unpivot_part_attrs,
     "q49_filtered_aggregates": q49_filtered_aggregates,
+    "q50_cohort_retention": q50_cohort_retention,
 }
