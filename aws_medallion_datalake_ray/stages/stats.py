@@ -57,16 +57,24 @@ def parquet_footer_stats(
     # must NOT repopulate bounds, or pruning would skip files whose stats-less
     # group contains matching rows.  Reachable via add_files of external parquet.
     unbounded: set[str] = set()
+    # A row group whose footer lacks null_count makes the file's null count
+    # UNKNOWN (None), never zero: predicate_covers_file's metadata-only DELETE
+    # fast path must not treat "we don't know" as "no nulls" and drop a file
+    # whose NULL rows should survive the predicate.
+    nulls_unknown: set[str] = set()
     for rg in range(md.num_row_groups):
         rg_md = md.row_group(rg)
         for c, i in col_idx.items():
             st = rg_md.column(i).statistics
             if st is None:
                 unbounded.add(c)
+                nulls_unknown.add(c)
                 continue
             a = agg[c]
             if st.null_count is not None:
                 a["nulls"] += st.null_count
+            else:
+                nulls_unknown.add(c)
             if st.has_min_max:
                 if a["min"] is None or st.min < a["min"]:
                     a["min"] = st.min
@@ -76,6 +84,8 @@ def parquet_footer_stats(
                 # values (possibly) present but no bounds recorded
                 unbounded.add(c)
     for c, a in agg.items():
+        if c in nulls_unknown:
+            a["nulls"] = None
         if c in unbounded:
             a["min"] = a["max"] = None
             continue

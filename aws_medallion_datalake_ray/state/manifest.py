@@ -22,6 +22,7 @@ which is what makes maintenance commits feasible on a 10^12-file table.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -207,6 +208,20 @@ class ManifestStore:
                 return f.read() == token
         except FileNotFoundError:
             return False
+
+    @contextlib.contextmanager
+    def locked(self):
+        """Hold the commit lock around a non-commit critical section (e.g.
+        the tags.json read-modify-write): two concurrent taggers doing an
+        unlocked RMW could silently lose a tag — and a lost tag removes its
+        retention pin, letting expire_snapshots delete the snapshot it was
+        meant to protect."""
+        lock, token = self._acquire_lock()
+        try:
+            yield
+        finally:
+            if self._owns_lock(lock, token):
+                os.unlink(lock)
 
     def commit(
         self,

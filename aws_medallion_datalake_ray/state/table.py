@@ -70,6 +70,36 @@ def _cached_schema(schema_json: str) -> pa.Schema:
     return _schema_from_json(schema_json)
 
 
+@_functools.lru_cache(maxsize=65536)
+def _footer_schema(abs_path: str) -> pa.Schema:
+    """Physical schema of one parquet file (footer-only, memoized — data
+    files are immutable so the cache never goes stale)."""
+    return pq.read_schema(abs_path)
+
+
+def _footer_names(abs_path: str) -> tuple[str, ...]:
+    return tuple(_footer_schema(abs_path).names)
+
+
+def _needs_reconcile(
+    abs_path: str, logical: pa.Schema, pcols: set, old_names: set
+) -> bool:
+    """Does this physical file still require the evolution reconcile?
+    True when it carries a rename-source name, or lacks a logical
+    non-partition column, or holds one at a pre-widen (different) type.
+    Footer-only via the memoized :func:`_footer_schema`."""
+    phys = _footer_schema(abs_path)
+    if set(phys.names) & old_names:
+        return True
+    for fld in logical:
+        if fld.name in pcols:
+            continue
+        i = phys.get_field_index(fld.name)
+        if i < 0 or phys.field(i).type != fld.type:
+            return True
+    return False
+
+
 def _reconcile_batch(
     t: pa.Table,
     *,
@@ -214,16 +244,20 @@ def predicate_covers_file(f: DataFile, predicate: Predicate) -> bool:
             continue
         st = f.stats.get(col) or {}
         lo, hi = st.get("min"), st.get("max")
-        if lo is None or hi is None or st.get("nulls", 0):
+        # nulls may be None = UNKNOWN (footer lacked null_count): treat as
+        # "file may hold NULL rows that survive the predicate" -> not covered
+        if lo is None or hi is None or st.get("nulls", 0) != 0:
             return False
+        # lazy thunks: the "in" arm iterates val, which is a scalar for the
+        # other ops — eager dict evaluation would TypeError whenever lo == hi
         ok = {
-            "==": lo == hi == val,
-            "in": lo == hi and lo in set(val),
-            "<": hi < val,
-            "<=": hi <= val,
-            ">": lo > val,
-            ">=": lo >= val,
-        }.get(op, False)
+            "==": lambda: lo == hi == val,
+            "in": lambda: lo == hi and lo in set(val),
+            "<": lambda: hi < val,
+            "<=": lambda: hi <= val,
+            ">": lambda: lo > val,
+            ">=": lambda: lo >= val,
+        }.get(op, lambda: False)()
         if not ok:
             return False
     return True
@@ -273,11 +307,21 @@ def _compact_bin(
 
 
 def plan_bins(
-    files: list[DataFile], target_bytes: int, min_files_per_bin: int = 2
+    files: list[DataFile],
+    target_bytes: int,
+    min_files_per_bin: int = 2,
+    force: set | None = None,
 ) -> list[list[DataFile]]:
-    """First-fit-decreasing bin packing of undersized files into ~target bins."""
+    """First-fit-decreasing bin packing of undersized files into ~target bins.
+
+    ``force``: file paths that must be rewritten regardless of size or bin
+    occupancy (pre-evolution files needing a physical schema upgrade) — they
+    enter the packing even at target size and keep their bin alive below
+    ``min_files_per_bin``."""
+    force = force or set()
     small = sorted(
-        (f for f in files if f.bytes < int(target_bytes * 0.8)),
+        (f for f in files
+         if f.bytes < int(target_bytes * 0.8) or f.path in force),
         key=lambda f: f.bytes,
         reverse=True,
     )
@@ -289,7 +333,11 @@ def plan_bins(
                 break
         else:
             bins.append((f.bytes, [f]))
-    return [members for _, members in bins if len(members) >= min_files_per_bin]
+    return [
+        members for _, members in bins
+        if len(members) >= min_files_per_bin
+        or any(m.path in force for m in members)
+    ]
 
 
 _KEY_SEP = "\x1f"
@@ -399,11 +447,16 @@ class LakeTable:
     def abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
 
-    def schema(self) -> pa.Schema | None:
-        head = self.store.head()
-        if head is None or head.schema_json is None:
+    def schema(self, snapshot_id: int | None = None) -> pa.Schema | None:
+        """Table schema as of HEAD, or of an explicit snapshot (time travel
+        must see the schema that was current THEN, not HEAD's evolved one —
+        ``schema_json`` is inherited by every descendant commit so any
+        snapshot resolves)."""
+        snap = (self.store.head() if snapshot_id is None
+                else self.store.snapshot(snapshot_id))
+        if snap is None or snap.schema_json is None:
             return None
-        return _schema_from_json(head.schema_json)
+        return _schema_from_json(snap.schema_json)
 
     # ------------------------------------------------------------ write
 
@@ -674,6 +727,41 @@ class LakeTable:
             schema_json=_schema_to_json(pa.schema(fields)),
         )
 
+    def retire_evolution(self, run_ts: str = "1970-01-01T00:00:00") -> bool:
+        """Drop the schema-evolution spec (renames + defaults) once NO
+        pre-evolution file remains — this is what unblocks reusing a
+        historical rename source in :meth:`evolve_schema` (whose error
+        message says "compact the table first to retire it"; without this,
+        only a full overwrite ever cleared the spec).
+
+        The check is footer-only and memoized: one cached schema read per
+        commit directory (table-written dirs are schema-homogeneous) plus
+        one per externally adopted file.  A file group is physically evolved
+        iff it carries no rename-source name AND every logical non-partition
+        column is present with exactly its logical type (so widened columns
+        no longer need the reconcile cast either).  Returns True when the
+        spec was cleared."""
+        evo = self._evolution()
+        if evo is None:
+            return False
+        spec, schema_json = evo
+        logical = _cached_schema(schema_json)
+        pcols = set(self.partition_cols)
+        old_names = set(spec.get("renames") or {})
+        seen_dirs: set[str] = set()
+        for f in self.store.files():
+            if not os.path.isabs(f.path):
+                d = os.path.dirname(f.path)
+                if d in seen_dirs:
+                    continue
+                seen_dirs.add(d)
+            if _needs_reconcile(self.abs(f.path), logical, pcols, old_names):
+                return False
+        self.store.commit(
+            [], [], "retire-evolution", run_ts, summary={"evolution": {}}
+        )
+        return True
+
     def _evolution(
         self, snapshot_id: int | None = None
     ) -> tuple[dict, str] | None:
@@ -728,9 +816,20 @@ class LakeTable:
         want = list(columns) if columns is not None else list(target.names)
         attach = tuple((c, v) for c, v in attach if c in want)
         attached_names = {c for c, _ in attach}
-        dirs: dict[str, list[DataFile]] = {}
+        # group by commit dir (one footer read per dir: every file a table
+        # WRITE produces in a commit dir shares one physical schema).
+        # Externally ADOPTED files (add_files -> absolute paths) carry no
+        # such guarantee — one external directory can hold heterogeneous
+        # schemas across add_files calls — so they group by their actual
+        # footer column set instead (one cached footer read per external
+        # file; adopted sets are registration-scale, not data-scale).
+        dirs: dict[tuple, list[DataFile]] = {}
         for f in files:
-            dirs.setdefault(os.path.dirname(f.path), []).append(f)
+            if os.path.isabs(f.path):
+                key = ("schema", _footer_names(self.abs(f.path)))
+            else:
+                key = ("dir", os.path.dirname(f.path))
+            dirs.setdefault(key, []).append(f)
         parts: list[ray.data.Dataset] = []
         dropped_pred = False
         for _d, fs in sorted(dirs.items()):
@@ -787,6 +886,7 @@ class LakeTable:
         columns: list[str] | None = None,
         predicate: Predicate | None = None,
         evolution: "tuple[dict, str] | None | str" = "auto",
+        snapshot_id: int | None = None,
         **read_kwargs,
     ) -> "ray.data.Dataset":
         """Dataset over an explicit file list, partition-aware: Hive-written
@@ -796,7 +896,11 @@ class LakeTable:
 
         ``evolution="auto"`` resolves the HEAD snapshot's schema-evolution
         spec (maintenance ops operate on HEAD); ``scan`` passes the spec of
-        the snapshot actually being read so time travel stays exact."""
+        the snapshot actually being read so time travel stays exact.
+        ``snapshot_id`` likewise pins the schema used for the implicit
+        column list on the NON-evolved partitioned branch — time travel to a
+        pre-evolution snapshot must project that snapshot's columns, not
+        HEAD's evolved/renamed ones (which old files don't have)."""
         if evolution == "auto":
             evolution = self._evolution()
         if evolution is not None:
@@ -851,24 +955,36 @@ class LakeTable:
                 **read_kwargs,
             )
         pcols = list(self.partition_cols)
-        for col, op, _ in predicate or []:
-            if col in pcols and op not in ("==", "in"):
-                raise ValueError(
-                    f"only ==/in predicates are supported on partition column {col!r}"
-                )
+        # non-==/in terms on partition columns can't push into Hive files
+        # (the column isn't physical there) and can't prune exactly at the
+        # manifest; they evaluate in a residue AFTER partition values attach
+        # — same discipline as the evolved branch above (parity matters:
+        # retiring an evolution spec must never shrink predicate support)
+        residue_terms = [
+            t for t in (predicate or [])
+            if t[0] in pcols and t[1] not in ("==", "in")
+        ]
         row_pred = [t for t in (predicate or []) if t[0] not in pcols] or None
-        sch = self.schema()
+        sch = self.schema(snapshot_id)
         want = list(columns) if columns is not None else (
             list(sch.names) if sch is not None else None
         )
+        # residue columns must survive the read/attach to be filterable;
+        # re-project to the caller's columns at the end
+        read_want = want
+        if want is not None and residue_terms:
+            extra = [t[0] for t in residue_terms if t[0] not in want]
+            if extra:
+                read_want = want + extra
         groups: dict[tuple, list[DataFile]] = {}
         for f in files:
             groups.setdefault(tuple(f.partition.get(c) for c in pcols), []).append(f)
         parts: list[ray.data.Dataset] = []
         for vals, fs in sorted(groups.items(), key=lambda kv: str(kv[0])):
             flat = all(v is None for v in vals)  # pre-partitioning files
-            data_cols = want if flat else (
-                [c for c in want if c not in pcols] if want is not None else None
+            data_cols = read_want if flat else (
+                [c for c in read_want if c not in pcols]
+                if read_want is not None else None
             )
             # flat files (no Hive layout — e.g. adopted via add_files) still
             # carry the partition columns as DATA columns, so they must see
@@ -883,10 +999,11 @@ class LakeTable:
             )
             attach = [] if flat else [
                 (c, v) for c, v in zip(pcols, vals)
-                if want is None or c in want
+                if read_want is None or c in read_want
             ]
-            if attach or want is not None:
-                def fix(t: pa.Table, _attach=tuple(attach), _want=tuple(want or ())) -> pa.Table:
+            if attach or read_want is not None:
+                def fix(t: pa.Table, _attach=tuple(attach),
+                        _want=tuple(read_want or ())) -> pa.Table:
                     for c, v in _attach:
                         t = t.append_column(c, pa.array([v] * len(t), pa.string()))
                     return t.select(list(_want)) if _want else t
@@ -895,6 +1012,17 @@ class LakeTable:
         ds = parts[0]
         if len(parts) > 1:
             ds = ds.union(*parts[1:])
+        if residue_terms:
+            ds = ds.map_batches(
+                _apply_predicate_batch,
+                fn_kwargs={"predicate": list(residue_terms)},
+                batch_format="pyarrow",
+            )
+            if read_want is not want and want is not None:
+                ds = ds.map_batches(
+                    lambda t, _w=tuple(want): t.select(list(_w)),
+                    batch_format="pyarrow",
+                )
         return ds
 
     def scan(
@@ -908,7 +1036,7 @@ class LakeTable:
         -> pyarrow pushdown -> Dataset."""
         files = prune_files(self.files(snapshot_id), predicate)
         if not files:
-            schema = self.schema() or pa.schema([])
+            schema = self.schema(snapshot_id) or pa.schema([])
             if columns:
                 # columns absent from the (possibly empty) schema come back
                 # null-typed rather than raising
@@ -923,7 +1051,8 @@ class LakeTable:
             return ray.data.from_arrow(schema.empty_table())
         return self._read_files(
             files, columns=columns, predicate=predicate,
-            evolution=self._evolution(snapshot_id), **read_kwargs,
+            evolution=self._evolution(snapshot_id), snapshot_id=snapshot_id,
+            **read_kwargs,
         )
 
     def to_arrow(self, **kw) -> pa.Table:
@@ -938,11 +1067,12 @@ class LakeTable:
         if any(f.partition for f in files) or evo is not None:
             batches = list(
                 self._read_files(
-                    files, columns=cols, predicate=pred, evolution=evo
+                    files, columns=cols, predicate=pred, evolution=evo,
+                    snapshot_id=snap_id,
                 ).iter_batches(batch_format="pyarrow", batch_size=None)
             )
             if not batches:  # every row filtered out
-                sch = self.schema() or pa.schema([])
+                sch = self.schema(snap_id) or pa.schema([])
                 if cols:
                     sch = pa.schema([sch.field(c) for c in cols])
                 return sch.empty_table()
@@ -981,6 +1111,25 @@ class LakeTable:
                 "want": tuple(c for c in _cached_schema(sjson).names
                               if c not in self.partition_cols),
             }
+        # under an active evolution, every file still carrying a
+        # pre-evolution physical schema is FORCED into the rewrite even if
+        # it's already target-size — compact is the advertised remedy that
+        # retires old rename-source names, so it must actually upgrade them.
+        # Footer check is memoized per commit dir (one read per dir).
+        force: set[str] = set()
+        if reconcile is not None:
+            logical = _cached_schema(reconcile["schema_json"])
+            pcols_set = set(self.partition_cols)
+            old_names = set(reconcile["renames"])
+            dir_needs: dict[str, bool] = {}
+            for f in files:
+                key = f.path if os.path.isabs(f.path) else os.path.dirname(f.path)
+                if key not in dir_needs:
+                    dir_needs[key] = _needs_reconcile(
+                        self.abs(f.path), logical, pcols_set, old_names
+                    )
+                if dir_needs[key]:
+                    force.add(f.path)
         # bins never cross partition boundaries, so each output file keeps a
         # single (exact) partition value set in the manifest
         part_groups: dict[tuple, list[DataFile]] = {}
@@ -988,9 +1137,12 @@ class LakeTable:
             part_groups.setdefault(tuple(sorted(f.partition.items())), []).append(f)
         bins: list[list[DataFile]] = []
         for _k, fs in sorted(part_groups.items()):
-            bins.extend(plan_bins(fs, target_file_bytes, min_files_per_bin))
+            bins.extend(plan_bins(fs, target_file_bytes, min_files_per_bin, force=force))
         if not bins:
-            return {"bins": 0, "files_in": 0, "files_out": 0}
+            out = {"bins": 0, "files_in": 0, "files_out": 0}
+            if predicate is None and evo is not None:
+                out["evolution_retired"] = self.retire_evolution(run_ts)
+            return out
         job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
         ledger = Ledger(self.root, job_id, op="compact", run_ts=run_ts)
         rel_dir, abs_dir = os.path.join("data", f"compacted-{job_id}"), None
@@ -1032,7 +1184,13 @@ class LakeTable:
             summary={"bins": len(bins), "files_in": len(removed), "files_out": len(added)},
         )
         ledger.finish()
-        return {"bins": len(bins), "files_in": len(removed), "files_out": len(added)}
+        out = {"bins": len(bins), "files_in": len(removed), "files_out": len(added)}
+        if predicate is None and evo is not None:
+            # an UNSCOPED compact may have rewritten the last pre-evolution
+            # file; if so, clear the rename/default spec so the old names
+            # become reusable (evolve_schema's advertised remedy)
+            out["evolution_retired"] = self.retire_evolution(run_ts)
+        return out
 
     # ------------------------------------------------------------ clustering
 
@@ -1363,18 +1521,23 @@ class LakeTable:
         never expire; retention walks the tag file."""
         sid = snapshot_id if snapshot_id is not None else self.store.head_id()
         self.store.snapshot(sid)  # validate it exists
-        tags = self.tags()
-        tags[name] = sid
         from aws_medallion_datalake_ray.state.manifest import atomic_write_json
 
-        atomic_write_json(os.path.join(self.store.dir, "tags.json"), tags)
+        # RMW under the commit lock: an unlocked concurrent tagger could
+        # silently drop the other's tag — and with it that snapshot's
+        # retention pin against expire_snapshots
+        with self.store.locked():
+            tags = self.tags()
+            tags[name] = sid
+            atomic_write_json(os.path.join(self.store.dir, "tags.json"), tags)
 
     def drop_tag(self, name: str) -> None:
-        tags = self.tags()
-        tags.pop(name, None)
         from aws_medallion_datalake_ray.state.manifest import atomic_write_json
 
-        atomic_write_json(os.path.join(self.store.dir, "tags.json"), tags)
+        with self.store.locked():
+            tags = self.tags()
+            tags.pop(name, None)
+            atomic_write_json(os.path.join(self.store.dir, "tags.json"), tags)
 
     def tags(self) -> dict[str, int]:
         try:

@@ -83,10 +83,18 @@ def test_merge_and_zorder_on_partitioned_table(ptable):
     assert all(set(f.partition) == {"lang"} for f in t.files())
 
 
-def test_partition_range_predicate_rejected(ptable):
-    t, _ = ptable
-    with pytest.raises(ValueError, match="partition column"):
-        t.scan(predicate=[("lang", ">", "a")]).count()
+def test_partition_range_predicate_residue(ptable):
+    """Range predicates on a partition column evaluate exactly (post-attach
+    residue filter — formerly rejected with ValueError)."""
+    t, base = ptable
+    langs = base["lang"].to_pylist()
+    pivot = sorted(set(langs))[len(set(langs)) // 2]
+    expect = sum(1 for v in langs if v > pivot)
+    assert t.scan(predicate=[("lang", ">", pivot)]).count() == expect
+    # column projection that EXCLUDES the predicate column still filters
+    got = t.scan(predicate=[("lang", ">", pivot)], columns=["repo"])
+    assert got.count() == expect
+    assert got.schema().names == ["repo"]
 
 
 def test_delete_keys_on_partitioned_table(ptable):
