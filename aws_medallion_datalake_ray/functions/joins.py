@@ -392,3 +392,121 @@ def range_join_banded(
     return tagged.groupby("__band").map_groups(
         _match_group, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------- attach_lookup
+
+# Default budgets for shipping a dim through the driver + object store.  The
+# near-dup verifier established the discipline (dedup.py `near_dup_pairs`:
+# threshold on COUNT and BYTES, never on faith); this is the query-side twin.
+# 5M keys / 256 MiB ≈ a TPC-H customer dim up to ~SF3 — past that the lookup
+# becomes a co-partitioned `Dataset.join` and nothing dim-sized ever crosses
+# the driver heap.
+BROADCAST_COUNT_BUDGET = 5_000_000
+BROADCAST_BYTES_BUDGET = 256 * 1024 * 1024
+
+#: introspection for tests/VERDICT: plan chosen by the most recent
+#: :func:`attach_lookup` call (same convention as dedup.LAST_VERIFY_PLAN).
+LAST_LOOKUP_PLAN: dict = {}
+
+# per-worker cache of built lookup indexes, keyed by ObjectRef hex: the hash
+# index builds ONCE per worker process, not once per batch (stateless-task
+# analog of actor __init__ state; same pattern as text.py's per-worker
+# pattern cache).  Tiny LRU — a worker touches O(1) dims per query.
+_LOOKUP_CACHE: "dict[str, tuple[pd.Index, dict]]" = {}
+
+
+def _lookup_state(ref, right_key: str, val_cols: tuple) -> tuple:
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    st = _LOOKUP_CACHE.get(key)
+    if st is None:
+        small: pa.Table = ray.get(ref)
+        idx = pd.Index(small[right_key].to_pandas())
+        vals = {c: small[c].combine_chunks() for c in val_cols}
+        if len(_LOOKUP_CACHE) >= 4:
+            _LOOKUP_CACHE.pop(next(iter(_LOOKUP_CACHE)))
+        st = (idx, vals)
+        _LOOKUP_CACHE[key] = st
+    return st
+
+
+def _attach_broadcast(
+    t: pa.Table, *, ref, left_key: str, right_key: str, val_cols: tuple
+) -> pa.Table:
+    idx, vals = _lookup_state(ref, right_key, val_cols)
+    pos = idx.get_indexer(t[left_key].to_pandas())
+    take = pa.array(pos, pa.int64(), mask=pos < 0)  # miss -> null (left join)
+    for c in val_cols:
+        t = t.append_column(c, pc.take(vals[c], take))
+    return t
+
+
+def attach_lookup(
+    ds: "ray.data.Dataset",
+    small: "pa.Table | ray.data.Dataset",
+    left_key: str,
+    right_key: str | None = None,
+    *,
+    count_budget: int | None = None,
+    bytes_budget: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Attach the value columns of a small keyed table to ``ds`` (LEFT-join
+    semantics: unmatched rows keep nulls) — the budgeted broadcast join every
+    star query shares.
+
+    Plan selection mirrors the near-dup verifier's discipline: broadcast via
+    ``ray.put`` only while the small side fits BOTH a row-count and a byte
+    budget; otherwise fall back to a co-partitioned ``Dataset.join`` so a
+    dim that grows with SF (TPC-H customer: 150k rows/SF) never rides
+    through the driver heap.  The chosen plan is recorded in
+    :data:`LAST_LOOKUP_PLAN`.
+
+    The broadcast arm ships ONE Arrow table to the object store; each worker
+    builds its hash index once per process (not per batch) and every batch
+    lookup is a vectorized ``pd.Index.get_indexer`` + Arrow ``take`` — no
+    Python-per-row, no whole-batch pandas conversion.
+    """
+    count_budget = BROADCAST_COUNT_BUDGET if count_budget is None else count_budget
+    bytes_budget = BROADCAST_BYTES_BUDGET if bytes_budget is None else bytes_budget
+    right_key = left_key if right_key is None else right_key
+
+    if isinstance(small, pa.Table):
+        n, nbytes = len(small), small.nbytes
+        small_tab, small_ds = small, None
+    else:
+        small_ds = small.materialize()
+        n, nbytes = small_ds.count(), (small_ds.size_bytes() or 0)
+        small_tab = None
+
+    use_broadcast = n <= count_budget and nbytes <= bytes_budget
+    LAST_LOOKUP_PLAN.clear()
+    LAST_LOOKUP_PLAN.update(
+        plan="broadcast" if use_broadcast else "joined",
+        rows=int(n), bytes=int(nbytes),
+    )
+
+    if use_broadcast:
+        if small_tab is None:
+            small_tab = pa.concat_tables(
+                small_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            ) if n else small_ds.schema().empty_table()
+        val_cols = tuple(c for c in small_tab.column_names if c != right_key)
+        ref = ray.put(small_tab.combine_chunks())
+        return ds.map_batches(
+            _attach_broadcast,
+            fn_kwargs={"ref": ref, "left_key": left_key,
+                       "right_key": right_key, "val_cols": val_cols},
+            batch_format="pyarrow",
+        )
+
+    if small_ds is None:
+        small_ds = ray.data.from_arrow(small_tab)
+    # aggregator actors each need a core: more partitions than CPUs
+    # deadlocks a small cluster (same sizing note as dedup's joined arm)
+    nparts = num_partitions or max(2, _ncpu() // 2)
+    kw = {} if right_key == left_key else {"right_on": (right_key,)}
+    return ds.join(
+        small_ds, join_type="left_outer", num_partitions=nparts,
+        on=(left_key,), **kw,
+    )

@@ -108,29 +108,32 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q02_top_customers(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join (SURVEY J1): small dim (customer) shipped once via
-    ray.put, looked up inside map_batches; big side (orders) pre-aggregated."""
+    """Broadcast hash join (SURVEY J1): small dim (customer) attached via the
+    budgeted :func:`attach_lookup` (broadcast within budget, co-partitioned
+    ``Dataset.join`` beyond it); big side (orders) pre-aggregated."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).to_pandas()
-    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    )
 
-    def join_agg(t: pa.Table, ref=name_ref) -> pa.Table:
-        names_map = ray.get(ref)  # zero-copy plasma fetch per task
+    def join_agg(t: pa.Table) -> pa.Table:
         cents = pc.cast(
             pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
         )
-        g = (
-            pa.table({"o_custkey": t["o_custkey"], "cents": cents})
-            .group_by("o_custkey")
+        return (
+            pa.table({"c_custkey": t["o_custkey"], "c_name": t["c_name"],
+                      "cents": cents})
+            .group_by(["c_custkey", "c_name"])
             .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["c_custkey", "c_name", "p_spent", "p_n"])
         )
-        g = g.rename_columns(["c_custkey", "p_spent", "p_n"])
-        names = pd.Series(g["c_custkey"].to_pandas()).map(names_map)
-        return g.append_column("c_name", pa.array(names, pa.string()))
 
     out = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        attach_lookup(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+            cust, "o_custkey", "c_custkey",
+        )
         .map_batches(join_agg, batch_format="pyarrow")
         .groupby(["c_custkey", "c_name"])
         .aggregate(Sum("p_spent", alias_name="spent"), Sum("p_n", alias_name="n_orders"))
@@ -619,18 +622,17 @@ def q24_price_quantiles(sf_dir: str) -> pd.DataFrame:
 
 
 def q25_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
-    """Grouped top-k (window rank per partition): broadcast the customer→
-    segment map, then per-segment top-3 orders by price — per-batch local
-    top-k partials keep the shuffle tiny (combiner for rank queries)."""
+    """Grouped top-k (window rank per partition): budgeted attach of the
+    customer→segment dim, then per-segment top-3 orders by price — per-batch
+    local top-k partials keep the shuffle tiny (combiner for rank queries)."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    )
 
-    def local_topk(t: pa.Table, ref=seg_ref) -> pa.Table:
-        seg = ray.get(ref)
-        df = t.to_pandas()
-        df["segment"] = df["o_custkey"].map(seg)
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(columns={"c_mktsegment": "segment"})
         df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
         return pa.Table.from_pandas(
             df.groupby("segment", sort=False).head(3)[
@@ -641,7 +643,11 @@ def q25_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
 
     # two-level top-k: local per batch, then exact on the tiny union
     part = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        attach_lookup(
+            _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderkey", "o_totalprice"]),
+            cust, "o_custkey", "c_custkey",
+        )
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
     )
@@ -814,26 +820,25 @@ def q28_gold_star_join(sf_dir: str) -> pd.DataFrame:
     """Gold star-join consumption (athena_gold_queries.sql:8-18 shape): fact ⋈
     broadcast dim -> per-segment totals + distinct-customer counts, scanned
     from the engine's own gold LakeTables."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     dim, fact, _, _ = _gold_star(sf_dir)
     dim_t = dim.to_arrow()
-    seg_ref = ray.put(
-        dict(zip(dim_t["c_custkey"].to_pylist(), dim_t["c_mktsegment"].to_pylist()))
-    )
 
-    def enrich(t: pa.Table, ref=seg_ref) -> pa.Table:
-        seg_map = ray.get(ref)
-        segs = pd.Series(t["o_custkey"].to_pandas()).map(seg_map)
+    def enrich(t: pa.Table) -> pa.Table:
         g = (
-            pa.table(
-                {"segment": pa.array(segs, pa.string()), "cents": t["cents"]}
-            )
+            pa.table({"segment": t["c_mktsegment"], "cents": t["cents"]})
             .group_by("segment")
             .aggregate([("cents", "sum"), ("cents", "count")])
         )
         return g.rename_columns(["segment", "p_cents", "p_n"])
 
     agg = (
-        fact.scan(columns=["o_custkey", "cents"])
+        attach_lookup(
+            fact.scan(columns=["o_custkey", "cents"]),
+            dim_t.select(["c_custkey", "c_mktsegment"]),
+            "o_custkey", "c_custkey",
+        )
         .map_batches(enrich, batch_format="pyarrow")
         .groupby("segment")
         .aggregate(Sum("p_cents", alias_name="cents"), Sum("p_n", alias_name="n_orders"))
@@ -916,20 +921,24 @@ def q31_gold_monthly_rollup(sf_dir: str) -> pd.DataFrame:
     the calendar attributes (ano/mes/nome_mes) come from the dim, never
     recomputed from the fact — with the dim broadcast once and per-batch
     partial aggregation before the small keyed shuffle."""
-    _, fact, _, tempo = _gold_star(sf_dir)
-    dim = tempo.to_arrow(columns=["data_key", "ano", "mes", "nome_mes"]).to_pandas()
-    dim_ref = ray.put(dim)
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
 
-    def enrich(t: pa.Table, ref=dim_ref) -> pa.Table:
-        d = ray.get(ref)
-        df = t.to_pandas().merge(d, on="data_key", how="left")
-        g = df.groupby(["ano", "mes", "nome_mes"], as_index=False).agg(
-            p_n=("cents", "size"), p_c=("cents", "sum")
+    _, fact, _, tempo = _gold_star(sf_dir)
+    dim = tempo.to_arrow(columns=["data_key", "ano", "mes", "nome_mes"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"ano": t["ano"], "mes": t["mes"],
+                      "nome_mes": t["nome_mes"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_c": t["cents"]})
+            .group_by(["ano", "mes", "nome_mes"])
+            .aggregate([("p_n", "sum"), ("p_c", "sum")])
+            .rename_columns(["ano", "mes", "nome_mes", "p_n", "p_c"])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        fact.scan(columns=["data_key", "cents"])
+        attach_lookup(fact.scan(columns=["data_key", "cents"]), dim, "data_key")
         .map_batches(enrich, batch_format="pyarrow")
         .groupby(["ano", "mes", "nome_mes"])
         .aggregate(Sum("p_n", alias_name="n_orders"), Sum("p_c", alias_name="c"))
@@ -1114,19 +1123,17 @@ def q36_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
     distributed with in-batch combiners; the cumulative sum runs on the tiny
     (segment x month) aggregate on the driver — the scale-correct split for
     an unbounded-preceding window over a low-cardinality frame."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist())))
 
-    def partial(t: pa.Table, ref=seg_ref) -> pa.Table:
-        seg_map = ray.get(ref)
-        seg = pd.Series(t["o_custkey"].to_pandas()).map(seg_map)
+    def partial(t: pa.Table) -> pa.Table:
         od = t["o_orderdate"].to_pandas()
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
                         pa.int64())
         return (
-            pa.table({"segment": pa.array(seg, pa.string()),
+            pa.table({"segment": t["c_mktsegment"],
                       "ano": pa.array(od.dt.year.to_numpy(np.int32)),
                       "mes": pa.array(od.dt.month.to_numpy(np.int32)),
                       "p_c": cents})
@@ -1136,7 +1143,11 @@ def q36_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     agg = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        attach_lookup(
+            _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+            cust, "o_custkey", "c_custkey",
+        )
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["segment", "ano", "mes"])
         .aggregate(Sum("p_c", alias_name="c"))
@@ -1502,19 +1513,17 @@ def q43_pivot_segment_year(sf_dir: str) -> pd.DataFrame:
     ONE finest-grain groupby with in-batch combiners; the reshape to wide
     columns happens on the tiny (segment x year) result — pivot never needs
     its own shuffle.  Column set is data-driven and sorted for determinism."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist())))
 
-    def partial(t: pa.Table, ref=seg_ref) -> pa.Table:
-        seg_map = ray.get(ref)
-        seg = pd.Series(t["o_custkey"].to_pandas()).map(seg_map)
+    def partial(t: pa.Table) -> pa.Table:
         yr = t["o_orderdate"].to_pandas().dt.year.to_numpy(np.int32)
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
                         pa.int64())
         return (
-            pa.table({"segment": pa.array(seg, pa.string()),
+            pa.table({"segment": t["c_mktsegment"],
                       "ano": pa.array(yr), "p_c": cents})
             .group_by(["segment", "ano"])
             .aggregate([("p_c", "sum")])
@@ -1522,7 +1531,11 @@ def q43_pivot_segment_year(sf_dir: str) -> pd.DataFrame:
         )
 
     agg = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        attach_lookup(
+            _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+            cust, "o_custkey", "c_custkey",
+        )
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["segment", "ano"])
         .aggregate(Sum("p_c", alias_name="c"))
@@ -1586,15 +1599,14 @@ def q45_segment_status_agg(sf_dir: str) -> pd.DataFrame:
     payloads, only the distinct members."""
     from aws_medallion_datalake_ray.functions.dedup import exact_dedup
 
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist())))
 
-    def tag(t: pa.Table, ref=seg_ref) -> pa.Table:
-        seg = pd.Series(t["o_custkey"].to_pandas()).map(ray.get(ref))
+    def tag(t: pa.Table) -> pa.Table:
         return (
-            pa.table({"segment": pa.array(seg, pa.string()),
+            pa.table({"segment": t["c_mktsegment"],
                       "status": t["o_orderstatus"],
                       "p_n": pa.array(np.ones(len(t), np.int64))})
             .group_by(["segment", "status"])
@@ -1602,8 +1614,10 @@ def q45_segment_status_agg(sf_dir: str) -> pd.DataFrame:
             .rename_columns(["segment", "status", "p_n"])
         )
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]) \
-        .map_batches(tag, batch_format="pyarrow")
+    orders = attach_lookup(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
+        cust, "o_custkey", "c_custkey",
+    ).map_batches(tag, batch_format="pyarrow")
     per = (
         orders.groupby(["segment", "status"])
         .aggregate(Sum("p_n", alias_name="n"))
@@ -1775,11 +1789,14 @@ def q50_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix (users first active on day D still active
     at D+k; the events fixture spans ~one month, so days are the cohort
     grain): distinct (user, month) pairs distributed -> per-user first
-    month -> broadcast the small user->cohort map back -> (cohort, offset)
-    rollup with in-batch combiners.  Only distinct activity pairs shuffle;
-    the cohort map is user-cardinality (broadcast at test scale; at 10^9
-    users this side becomes a co-partitioned join like merge's fallback)."""
+    month -> attach the user->cohort map back -> (cohort, offset) rollup
+    with in-batch combiners.  Only distinct activity pairs shuffle; the
+    cohort map is user-cardinality, so it rides :func:`attach_lookup`'s
+    budgeted plan — broadcast at test scale, a co-partitioned
+    ``Dataset.join`` past the count/byte budget (at 10^9 users nothing
+    user-sized crosses the driver)."""
     from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
 
     def day_pairs(t: pa.Table) -> pa.Table:
         days = np.asarray(t["ts"]).astype("datetime64[D]").astype(np.int64)
@@ -1793,16 +1810,12 @@ def q50_cohort_retention(sf_dir: str) -> pd.DataFrame:
         .map_batches(day_pairs, batch_format="pyarrow"),
         ("user_id", "m"), num_partitions=16,
     )
-    first = (
-        pairs.groupby("user_id").aggregate(Min("m", alias_name="first_m"))
-        .to_pandas()
-    )
-    first_ref = ray.put(dict(zip(first["user_id"], first["first_m"])))
+    # pairs feeds BOTH the first-month aggregate and the rollup: pin it once
+    pairs = pairs.materialize()
+    first = pairs.groupby("user_id").aggregate(Min("m", alias_name="first_m"))
 
-    def rollup(t: pa.Table, ref=first_ref) -> pa.Table:
-        fm = ray.get(ref)
-        users = pd.Series(t["user_id"].to_pandas())
-        f = users.map(fm).to_numpy(np.int64)
+    def rollup(t: pa.Table) -> pa.Table:
+        f = np.asarray(t["first_m"], np.int64)
         m = np.asarray(t["m"], np.int64)
         return (
             pa.table({"cohort_m": pa.array(f), "day_offset": pa.array(m - f),
@@ -1813,7 +1826,8 @@ def q50_cohort_retention(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        pairs.map_batches(rollup, batch_format="pyarrow")
+        attach_lookup(pairs, first, "user_id")
+        .map_batches(rollup, batch_format="pyarrow")
         .groupby(["cohort_m", "day_offset"])
         .aggregate(Sum("p_n", alias_name="n_users"))
         .to_pandas()

@@ -25,3 +25,10 @@ def source_files_small():
     from aws_medallion_datalake_ray.sources.fixtures import make_source_files
 
     return make_source_files(3000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    import os
+
+    return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
