@@ -1839,6 +1839,106 @@ def q50_cohort_retention(sf_dir: str) -> pd.DataFrame:
         ["cohort", "day_offset"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q51
+
+
+def q51_dml_delete_update(sf_dir: str) -> pd.DataFrame:
+    """Predicate DML (DELETE / UPDATE) under the value-hash oracle gate
+    (reference analog: the overwrite-refresh semantics of
+    silver_digit_clean.py:127, expressed as targeted DML instead of a full
+    rewrite).  orders is ingested into a temp LakeTable PARTITIONED by
+    o_orderstatus, then:
+
+    1. ``DELETE WHERE o_orderstatus='F'`` — the metadata-only path (whole
+       partitions drop with zero data IO; asserted via files_dropped);
+    2. ``DELETE WHERE o_totalprice > 450000`` — the partial path (inverted-
+       filter rewrite of only the files whose stats overlap);
+    3. ``UPDATE SET o_orderpriority='0-UPDATED' WHERE o_totalprice < 50000``
+       — vectorized copy-on-write if_else.
+
+    The oracle expresses the same post-DML state as a pure SELECT (survivor
+    filter + CASE), so one value-hash covers all three verbs."""
+    import shutil
+    import tempfile
+
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    root = tempfile.mkdtemp(prefix="q51-dml-")
+    try:
+        t = LakeTable.create(f"{root}/orders", partition_cols=("o_orderstatus",))
+        # drop the pandas schema metadata: a metadata dict in the schema
+        # defeats Ray's schema-dedup hash and spams unioned-schema warnings
+        t.append(pq.read_table(f"{sf_dir}/orders.parquet")
+                 .replace_schema_metadata(None),
+                 run_ts="2024-01-01T00:00:00")
+        d1 = t.delete_where([("o_orderstatus", "==", "F")],
+                            run_ts="2024-01-01T00:00:01")
+        assert d1["files_dropped"] > 0 and d1["files_rewritten"] == 0, d1
+        t.delete_where([("o_totalprice", ">", 450000.0)],
+                       run_ts="2024-01-01T00:00:02")
+        t.update_where([("o_totalprice", "<", 50000.0)],
+                       {"o_orderpriority": "0-UPDATED"},
+                       run_ts="2024-01-01T00:00:03")
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                                 pa.scalar(100.0))), pa.int64())
+            return (
+                pa.table({"o_orderstatus": b["o_orderstatus"],
+                          "o_orderpriority": b["o_orderpriority"],
+                          "p_c": cents,
+                          "p_n": pa.array(np.ones(len(b), np.int64))})
+                .group_by(["o_orderstatus", "o_orderpriority"])
+                .aggregate([("p_c", "sum"), ("p_n", "sum")])
+                .rename_columns(["o_orderstatus", "o_orderpriority",
+                                 "p_c", "p_n"])
+            )
+
+        out = (
+            t.scan(columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+            .to_pandas()
+        )
+        out["total_price"] = (out["c"] / 100.0).round(2)
+        out["n_orders"] = out["n"].astype("int64")
+        return out[["o_orderstatus", "o_orderpriority", "n_orders",
+                    "total_price"]].sort_values(
+            ["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- q52
+
+
+def q52_ivf_ann_exact(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN under the oracle gate in the EXACT regime: with
+    ``nprobe == n_centroids`` the probe set covers every cluster, so the IVF
+    scan is exhaustive and DuckDB's brute-force ``list_cosine_similarity``
+    top-k reproduces it exactly — validating the centroid training /
+    assignment / probe-filter machinery itself (the bounded-probe recall
+    tradeoff stays covered by the e04 demo).  Same float32/rounding
+    convention as q16/q30: order on round(score,4) with vec_id tie-break."""
+    from aws_medallion_datalake_ray.functions.embeddings import (
+        ann_ivf, build_ivf_centroids)
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 3))["embedding"]
+        .to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = build_ivf_centroids(ds, n_centroids=8, sample_size=4096, seed=11)
+    df = ann_ivf(ds, np.asarray(q), cent, nprobe=len(cent), k=10)
+    df["score4"] = df["score"].round(4)
+    df = df.sort_values(["score4", "vec_id"], ascending=[False, True]).head(10)
+    df["rank"] = range(1, len(df) + 1)
+    return df[["rank", "vec_id"]].reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2352,6 +2452,31 @@ ORACLE_SQL: dict[str, str] = {
                round(quantile_disc(l_extendedprice, 0.9), 2)  AS p90
         FROM lineitem
     """,
+    "q51_dml_delete_update": """
+        -- the post-DML state of q51's LakeTable as a pure SELECT:
+        -- DELETEs become survivor filters, the UPDATE a CASE projection
+        SELECT o_orderstatus,
+               CASE WHEN o_totalprice < 50000 THEN '0-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND o_totalprice <= 450000
+        GROUP BY 1, 2
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "q52_ivf_ann_exact": """
+        SELECT row_number() OVER (
+                 ORDER BY round(CAST(list_cosine_similarity(
+                     embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 3)) AS DOUBLE), 4)
+                     DESC, vec_id) AS rank,
+               vec_id
+        FROM embeddings
+        ORDER BY rank
+        LIMIT 10
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -2422,4 +2547,6 @@ SQL_QUERIES = {
     "q48_unpivot_part_attrs": q48_unpivot_part_attrs,
     "q49_filtered_aggregates": q49_filtered_aggregates,
     "q50_cohort_retention": q50_cohort_retention,
+    "q51_dml_delete_update": q51_dml_delete_update,
+    "q52_ivf_ann_exact": q52_ivf_ann_exact,
 }
