@@ -748,7 +748,9 @@ def demo_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
 
 def demo_multimodal(sf_dir: str) -> pd.DataFrame:
-    """Binary-payload actor-pool featurize (decode stubbed, plumbing real)."""
+    """Binary-payload actor-pool featurize: decode REAL for raw-rgb8/pcm16
+    tensors AND genuinely compressed png/wav (stdlib zlib/RIFF codecs);
+    only jpeg/mp3/mp4 kinds stay stubbed (no codec libs in container)."""
     from aws_medallion_datalake_ray.stages.multimodal import featurize_media, make_media_table
 
     n = 500 if "0.001" in sf_dir else 2000

@@ -1,14 +1,20 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-Decode is REAL for raw tensor formats — ``raw-rgb8`` (payload IS the
-H x W x 3 uint8 pixel buffer, zero-copy ``np.frombuffer``) and ``pcm16``
-(int16-LE samples) — the representations large training pipelines actually
-store after a one-time decode pass.  Compressed formats (``image`` /
-``audio`` / ``video`` = jpeg/mp3/mp4) remain STUBBED (no codec libs in this
-container — clearly marked below); a real deployment swaps ``_decode_stub``
-for PIL/libav in ``__init__``-loaded codecs and nothing else changes: the
-resize / frame-sampling / feature plumbing already operates on true array
-shapes via the raw path.
+Decode is REAL for:
+
+- raw tensor formats — ``raw-rgb8`` (payload IS the H x W x 3 uint8 pixel
+  buffer, zero-copy ``np.frombuffer``) and ``pcm16`` (int16-LE samples) —
+  the representations large training pipelines actually store after a
+  one-time decode pass;
+- genuinely COMPRESSED formats implementable from stdlib — ``png``
+  (zlib-DEFLATE, full scanline-filter spec) and ``wav`` (RIFF PCM16) via
+  ``functions/codecs.py``.
+
+Only jpeg/mp3/mp4 (``image`` / ``audio`` / ``video`` kinds) remain STUBBED
+(DCT/psychoacoustic codecs need PIL/libav, absent in this container —
+clearly marked below); a real deployment swaps ``_decode_stub`` for
+codec-lib calls in ``__init__`` and nothing else changes: the resize /
+frame-sampling / feature plumbing already operates on true array shapes.
 """
 
 from __future__ import annotations
@@ -36,9 +42,12 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media rows: raw-rgb8 / pcm16 payloads are REAL decodable
     tensors (pixel buffer / sample buffer); image/audio/video payloads are
     opaque bytes exercising the stubbed compressed path."""
+    from aws_medallion_datalake_ray.functions.codecs import encode_png, encode_wav
+
     rng = np.random.default_rng(seed)
-    kind_pool = np.array(["raw-rgb8", "pcm16", "image", "audio", "video"])
-    kinds = kind_pool[rng.integers(0, 5, n)]
+    kind_pool = np.array(
+        ["raw-rgb8", "pcm16", "png", "wav", "image", "audio", "video"])
+    kinds = kind_pool[rng.integers(0, len(kind_pool), n)]
     widths = rng.integers(8, 64, n).astype(np.int32)
     heights = rng.integers(8, 64, n).astype(np.int32)
     payloads = []
@@ -50,6 +59,13 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
         elif kinds[i] == "pcm16":
             payloads.append(
                 rng.integers(-(2**15), 2**15, 1024, dtype=np.int16).tobytes())
+        elif kinds[i] == "png":  # REAL zlib-compressed image payload
+            img = rng.integers(0, 256, (int(heights[i]), int(widths[i]), 3),
+                               dtype=np.uint8)
+            payloads.append(encode_png(img))
+        elif kinds[i] == "wav":  # REAL RIFF PCM16 payload
+            payloads.append(encode_wav(
+                rng.integers(-(2**15), 2**15, 2048, dtype=np.int16)))
         else:
             payloads.append(
                 rng.integers(0, 256, int(rng.integers(256, 8192)),
@@ -82,10 +98,15 @@ class MediaFeaturizer:
     def __init__(self, target_size: tuple[int, int] = (8, 8), frame_stride: int = 4):
         self.target = target_size
         self.frame_stride = frame_stride  # video: keep every k-th frame
-        # STUB: real impl -> ``self.codec = PIL.Image`` / torchaudio / libav
+        # codecs bind once per actor (the real-impl slot: PIL/libav go here)
+        from aws_medallion_datalake_ray.functions import codecs
+
+        self._decode_png = codecs.decode_png
+        self._decode_wav = codecs.decode_wav
 
     def _decode(self, payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
-        """Raw tensor formats decode for real; compressed kinds hit the stub."""
+        """Raw tensors and stdlib-compressed kinds (png/wav) decode for REAL;
+        only jpeg/mp3/mp4 hit the stub."""
         if kind == "raw-rgb8":
             # zero-copy view of the pixel buffer -> (h, w, 3) uint8
             px = np.frombuffer(payload, dtype=np.uint8)
@@ -95,6 +116,15 @@ class MediaFeaturizer:
             return px.reshape(h, w, 3)
         if kind == "pcm16":
             return np.frombuffer(payload, dtype="<i2")  # int16-LE samples
+        if kind == "png":  # real zlib/DEFLATE decode (functions/codecs.py)
+            img = self._decode_png(payload)
+            if img.shape[:2] != (h, w):
+                raise ValueError(
+                    f"png is {img.shape[1]}x{img.shape[0]}, metadata says {w}x{h}")
+            return img
+        if kind == "wav":  # real RIFF PCM16 decode
+            samples, _rate = self._decode_wav(payload)
+            return samples.reshape(-1)
         return self._decode_stub(payload, kind, w, h)
 
     def _decode_stub(self, payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
@@ -140,7 +170,7 @@ class MediaFeaturizer:
             batch["width"].to_pylist(), batch["height"].to_pylist(),
         ):
             dec = self._decode(payload, kind, w, h)
-            if kind in ("image", "raw-rgb8"):
+            if kind in ("image", "raw-rgb8", "png"):
                 dec = self._resize(dec)
                 n_frames = 1
             elif kind == "video":

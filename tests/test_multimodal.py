@@ -33,7 +33,7 @@ def test_video_frame_sampling():
     for k, n in zip(kinds, frames):
         if k == "video":
             assert n == 4  # 16 fake frames / stride 4
-        elif k in ("image", "raw-rgb8"):
+        elif k in ("image", "raw-rgb8", "png"):
             assert n == 1
         else:
             assert n == 0
