@@ -260,8 +260,10 @@ def demo_incremental_view(sf_dir: str) -> pd.DataFrame:
                                            got["commit"].to_pylist())]
     t.delete_keys(victims, run_ts="2024-01-02T00:00:02")
 
-    # distributed delta rollup over the feed only
-    feed = t.change_feed(s1, key_cols=FP_COLS[:3], include_preimages=True)
+    # distributed delta rollup over the feed only; columns= prunes the
+    # second-pass read to exactly what the rollup consumes
+    feed = t.change_feed(s1, key_cols=FP_COLS[:3], include_preimages=True,
+                         columns=["lang", "content"])
 
     def delta(b: pa.Table) -> pa.Table:
         sign = pc.if_else(

@@ -342,6 +342,11 @@ def plan_bins(
 
 _KEY_SEP = "\x1f"
 
+# change_feed: changed-key sets up to this size broadcast back to pass 2 as
+# sorted hash triples (24 B/key); beyond it the full-row co-partition plan
+# runs instead.  Module-level so tests can force the fallback.
+CHANGE_FEED_BROADCAST_KEYS = 2_000_000
+
 
 def _join_keys(batch: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
     parts = [batch[c].to_pandas().astype(str) for c in key_cols]
@@ -1977,6 +1982,7 @@ class LakeTable:
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
         num_partitions: int = 64,
+        skew_guard: "bool | str" = "auto",
     ) -> dict[str, Any]:
         """MERGE INTO for huge update sides: salted hash join.
 
@@ -1987,11 +1993,39 @@ class LakeTable:
         min/max range intersects the distinct update key prefix set (computed
         distributed via ``Dataset.unique`` — never the full key list on the
         driver).
-        """
+
+        ``skew_guard``: the one skew the triple hash CANNOT scatter is many
+        update rows sharing one IDENTICAL key triple (a re-sent hot entity)
+        — they all land in one partition (hot first-keys with distinct
+        suffixes are already scattered).  Duplicate update keys resolve
+        keep-any, so collapsing them inside each batch BEFORE the shuffle is
+        semantics-free and removes the skew at the source.  ``"auto"`` runs
+        a Misra-Gries ``hot_keys`` pre-pass over the JOINED key triple (one
+        streaming aggregate, O(k) driver state) and enables the in-batch
+        combiner only when one triple holds >=5% of the stream; True/False
+        force it on/off."""
         key = tuple(key)
         n_updates = updates.count()
         if n_updates == 0:
             return {"updates": 0, "affected_files": 0}
+
+        hot: list = []
+        if skew_guard == "auto":
+            from aws_medallion_datalake_ray.functions.sketches import hot_keys
+
+            probe = updates.map_batches(
+                lambda t, _k=key: pa.table(
+                    {"__k": pa.array(_join_keys(t, _k))}),
+                batch_format="pyarrow",
+            )
+            hot = hot_keys(probe, "__k", k=16, min_share=0.05)
+        pre_dedup = bool(hot) if skew_guard == "auto" else bool(skew_guard)
+        if pre_dedup:
+            key_list_pd = list(key)
+            updates = updates.map_batches(
+                lambda df, _k=key_list_pd: df.drop_duplicates(_k, keep="last"),
+                batch_format="pandas",
+            )
 
         # distributed distinct of the first key column for file pruning
         upd_first = np.array(sorted(updates.unique(key[0])), dtype=object)
@@ -2075,6 +2109,8 @@ class LakeTable:
             "updates": n_updates,
             "affected_files": len(affected),
             "files_out": len(added),
+            "skew_pre_dedup": pre_dedup,
+            "hot_keys": [v for v, _c in hot[:4]],
         }
 
     # ------------------------------------------------------------ near-dup removal
@@ -2364,6 +2400,7 @@ class LakeTable:
         to_snapshot: int | None = None,
         key_cols: Sequence[str] | None = None,
         include_preimages: bool = False,
+        columns: Sequence[str] | None = None,
     ) -> "ray.data.Dataset":
         """Change data feed (CDC) between two snapshots: a Dataset of changed
         rows tagged with a ``_change`` column in {insert, delete, update}.
@@ -2381,7 +2418,15 @@ class LakeTable:
         aggregate needs to retract the old contribution and apply the new,
         i.e. incremental view maintenance).  Generalizes the reference's
         full-refresh-overwrite consumers (``silver_digit_clean.py:127``)
-        which re-read entire tables to find what changed."""
+        which re-read entire tables to find what changed.
+
+        ``columns`` prunes the FEED OUTPUT to the named columns (+
+        ``_change``).  Change DETECTION still compares every column (a feed
+        must not miss an update to an unrequested column), but detection
+        shuffles only 24 B/row hashes — the expensive part is the second
+        pass that re-reads the changed rows, and with ``columns`` that read
+        skips everything else (a CDC consumer rolling up deltas by key needs
+        2 columns, not the wide ``content``)."""
         to_id = to_snapshot if to_snapshot is not None else self.store.head_id()
         try:
             snap_a = self.store.snapshot(from_snapshot)
@@ -2402,9 +2447,22 @@ class LakeTable:
         if key is None:
             raise ValueError("key_cols required for a table with no schema")
         evo_b = self._evolution(to_id)
+        out_cols = None
+        if columns is not None:
+            if not columns:
+                raise ValueError(
+                    "columns must be non-empty (pass a key column for "
+                    "count-only consumption)")
+            if schema is not None:
+                bad = [c for c in columns if schema.get_field_index(c) < 0]
+                if bad:
+                    raise KeyError(f"columns not in schema: {bad}")
+            out_cols = list(columns)
 
         def empty() -> "ray.data.Dataset":
             sch = schema or pa.schema([])
+            if out_cols is not None and schema is not None:
+                sch = pa.schema([schema.field(c) for c in out_cols])
             sch = sch.append(pa.field("_change", pa.string()))
             return ray.data.from_arrow(sch.empty_table())
 
@@ -2416,9 +2474,11 @@ class LakeTable:
         if not removed and not added:
             return empty()
         if not removed:  # append-only delta: every new-file row is an insert
-            return tag(self._read_files(added, evolution=evo_b), "insert")
+            return tag(self._read_files(added, columns=out_cols,
+                                        evolution=evo_b), "insert")
         if not added:
-            return tag(self._read_files(removed, evolution=evo_b), "delete")
+            return tag(self._read_files(removed, columns=out_cols,
+                                        evolution=evo_b), "delete")
 
         data_cols = [c for c in (schema.names if schema else key)]
         # Two-phase plan (default): the compare shuffles only 24 B/row of
@@ -2490,7 +2550,7 @@ class LakeTable:
         )
         if len(changed) == 0:
             return empty()
-        if len(changed) <= 2_000_000:
+        if len(changed) <= CHANGE_FEED_BROADCAST_KEYS:
             order = np.argsort(changed["k1"].to_numpy(), kind="stable")
             ck1 = changed["k1"].to_numpy()[order]
             ck2 = changed["k2"].to_numpy()[order]
@@ -2498,10 +2558,19 @@ class LakeTable:
             if len(np.unique(ck1)) == len(ck1):  # k1 unique -> O(log n) probe
                 refs = ray.put((ck1, ck2, ccode))
 
+                # second pass: column-pruned — only the requested columns
+                # plus the key columns (needed to recompute the key hashes)
+                # leave storage; keys not requested drop before emit
+                read_cols = None
+                if out_cols is not None:
+                    read_cols = out_cols + [k for k in key if k not in out_cols]
+
                 def emit(t: pa.Table, _s: int, _refs=refs) -> pa.Table:
                     a1, a2, ac = ray.get(_refs)
                     k1 = hash_batch_cols(t, tuple(key))
                     k2 = hash_batch_cols_alt(t, tuple(key))
+                    if out_cols is not None:
+                        t = t.select(out_cols)
                     i = np.searchsorted(a1, k1)
                     i = np.minimum(i, len(a1) - 1)
                     hit = (a1[i] == k1) & (a2[i] == k2)
@@ -2526,10 +2595,14 @@ class LakeTable:
                             pa.field("_change", pa.string())).empty_table()
                     return pa.concat_tables(pieces)
 
-                out = self._read_files(removed, evolution=evo_b).map_batches(
+                out = self._read_files(
+                    removed, columns=read_cols, evolution=evo_b
+                ).map_batches(
                     emit, fn_kwargs={"_s": 0}, batch_format="pyarrow"
                 ).union(
-                    self._read_files(added, evolution=evo_b).map_batches(
+                    self._read_files(
+                        added, columns=read_cols, evolution=evo_b
+                    ).map_batches(
                         emit, fn_kwargs={"_s": 1}, batch_format="pyarrow"
                     )
                 )
@@ -2537,7 +2610,8 @@ class LakeTable:
         # fallback: full-row co-partition diff (huge changed set, or the
         # astronomically-unlikely k1 collision inside the changed set)
         return self._change_feed_shuffle(
-            removed, added, key, data_cols, evo_b, include_preimages, P
+            removed, added, key, data_cols, evo_b, include_preimages, P,
+            out_cols=out_cols,
         )
 
     def _change_feed_shuffle(
@@ -2549,6 +2623,7 @@ class LakeTable:
         evo_b,
         include_preimages: bool,
         P: int,
+        out_cols: list[str] | None = None,
     ) -> "ray.data.Dataset":
         """Full-row co-partitioned diff: hash(key) % P partitions, vectorized
         numpy classification per partition (never one Python call per key)."""
@@ -2572,7 +2647,7 @@ class LakeTable:
 
         def diff_partition(
             t: pa.Table, _key=tuple(key), _cols=tuple(data_cols),
-            _pre=include_preimages,
+            _pre=include_preimages, _out=tuple(out_cols or ()) or None,
         ) -> pa.Table:
             from aws_medallion_datalake_ray.functions.hashing import hash_batch_cols
             from aws_medallion_datalake_ray.state.table import _join_keys
@@ -2611,9 +2686,15 @@ class LakeTable:
                 rows = row_side & grp_mask[gid]
                 if rows.any():
                     sel = body.filter(pa.array(rows))
+                    if _out is not None:
+                        sel = sel.select(list(_out))
                     pieces.append(sel.append_column(
                         "_change", pa.repeat(pa.scalar(change), len(sel))))
-            out_schema = body.schema.append(pa.field("_change", pa.string()))
+            body_schema = (
+                pa.schema([body.schema.field(c) for c in _out])
+                if _out is not None else body.schema
+            )
+            out_schema = body_schema.append(pa.field("_change", pa.string()))
             if not pieces:
                 return out_schema.empty_table()
             return pa.concat_tables(pieces)

@@ -157,3 +157,51 @@ def test_change_feed_on_partitioned_table(tmp_path):
     c = collections.Counter(df["_change"])
     assert c == {"update": 6}
     assert set(df.columns) >= {"repo", "path", "commit", "lang", "content"}
+
+
+def test_columns_prunes_feed_output(table):
+    """columns= prunes the second pass and the output; detection still sees
+    every column (an update to the UNREQUESTED content column must still
+    surface)."""
+    base = table.to_arrow(columns=["repo", "path", "commit", "lang", "content"])
+    s1 = table.store.head().snapshot_id
+    upd = base.slice(0, 7).set_column(
+        4, "content",
+        pa.array([f"pruned body {i}\n" for i in range(7)], pa.large_string()),
+    )
+    table.merge(upd, run_ts="2024-01-02T00:00:00")
+    df = table.change_feed(s1, key_cols=KEY, columns=["repo", "lang"]).to_pandas()
+    assert sorted(df.columns) == ["_change", "lang", "repo"]
+    assert collections.Counter(df["_change"]) == {"update": 7}
+    # full-feed parity on the surviving columns
+    full = table.change_feed(s1, key_cols=KEY).to_pandas()
+    assert sorted(df["repo"]) == sorted(full["repo"])
+
+
+def test_columns_append_only_and_validation(table):
+    s1 = table.store.head().snapshot_id
+    table.append(make_source_files(12, seed=88), run_ts=TS)
+    df = table.change_feed(s1, columns=["path"]).to_pandas()
+    assert sorted(df.columns) == ["_change", "path"]
+    assert len(df) == 12
+    with pytest.raises(KeyError):
+        table.change_feed(s1, columns=["no_such_col"])
+    with pytest.raises(ValueError):
+        table.change_feed(s1, columns=[])
+
+
+def test_columns_on_shuffle_fallback(table, monkeypatch):
+    """Forcing the full-row co-partition plan must honor columns= too."""
+    import aws_medallion_datalake_ray.state.table as tbl
+
+    monkeypatch.setattr(tbl, "CHANGE_FEED_BROADCAST_KEYS", 0)
+    base = table.to_arrow(columns=["repo", "path", "commit", "lang", "content"])
+    s1 = table.store.head().snapshot_id
+    upd = base.slice(0, 4).set_column(
+        4, "content",
+        pa.array([f"fallback body {i}\n" for i in range(4)], pa.large_string()),
+    )
+    table.merge(upd, run_ts="2024-01-02T00:00:00")
+    df = table.change_feed(s1, key_cols=KEY, columns=["path", "lang"]).to_pandas()
+    assert sorted(df.columns) == ["_change", "lang", "path"]
+    assert collections.Counter(df["_change"]) == {"update": 4}

@@ -513,3 +513,55 @@ def test_update_where(tmp_path, ray_session):
         p.update_where([("repo", "==", "x")], {"lang": "zz"}, run_ts=TS)
     assert p.update_where([("repo", "==", "no/such")], {"content": "x"},
                           run_ts=TS)["rows_updated"] == 0
+
+
+def test_merge_partitioned_skew_guard(table, source_files_small):
+    """A 50%-hot-key update stream (one identical key triple re-sent for half
+    the rows): the auto skew guard detects it via the Misra-Gries pre-pass
+    and collapses duplicates in-batch BEFORE the shuffle, so no partition
+    sees the hot key's full row mass — and semantics stay keep-any."""
+    import numpy as np
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions.hashing import (
+        hash_batch_cols, salted_partition)
+
+    upd = make_updates(source_files_small, 200, seed=45)
+    hot_row = upd.slice(0, 1)
+    hot = pa.concat_tables([hot_row] * 200)  # 200 copies of ONE key triple
+    stream = pa.concat_tables([upd, hot])
+
+    res = table.merge_partitioned(
+        ray.data.from_arrow(stream).repartition(8), run_ts=TS)
+    assert res["skew_pre_dedup"] is True
+    assert res["hot_keys"][0].startswith(hot_row["repo"][0].as_py())
+
+    # correctness: identical to the keep-any expectation (hot key once)
+    got = table.to_arrow(columns=["repo", "path", "commit"])
+    keys = list(zip(got["repo"].to_pylist(), got["path"].to_pylist(),
+                    got["commit"].to_pylist()))
+    assert len(keys) == len(set(keys))  # no duplicate survived
+
+    # balance: after the in-batch combiner (8 blocks), the hot key carries
+    # <= 8 rows into the shuffle instead of 200 — no partition holds >50%
+    deduped = (
+        ray.data.from_arrow(stream).repartition(8)
+        .map_batches(lambda df: df.drop_duplicates(
+            ["repo", "path", "commit"], keep="last"), batch_format="pandas")
+        .to_arrow_refs()
+    )
+    import ray as _ray
+    rows = pa.concat_tables([_ray.get(r) for r in deduped])
+    parts = salted_partition(
+        hash_batch_cols(rows, ("repo", "path", "commit")), 16)
+    counts = np.bincount(parts, minlength=16)
+    assert counts.max() <= max(8, int(0.25 * len(rows)))
+
+
+def test_merge_partitioned_skew_guard_off_for_uniform(table, source_files_small):
+    """No hot key -> auto guard stays OFF (no wasted combiner pass)."""
+    upd = make_updates(source_files_small, 300, seed=46)
+    import ray.data
+
+    res = table.merge_partitioned(ray.data.from_arrow(upd), run_ts=TS)
+    assert res["skew_pre_dedup"] is False
