@@ -1939,6 +1939,228 @@ def q52_ivf_ann_exact(sf_dir: str) -> pd.DataFrame:
     return df[["rank", "vec_id"]].reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- q53
+
+
+def q53_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Windowed navigation (LAG): per-customer gaps between consecutive
+    orders.  Both sides are co-partitioned on ``hash(custkey) % P`` (P =
+    O(CPUs), never key cardinality — billions of customers hash into a
+    bounded group count); each partition computes every customer's sorted
+    date diffs with ONE vectorized pandas pass (sort + groupby.diff), no
+    per-customer Python.  Gap sequences are tie-order-insensitive (diffs of
+    a sorted multiset), so the aggregate is hash-stable."""
+    from aws_medallion_datalake_ray.functions.hashing import hash_col
+
+    P = 32
+
+    def part(t: pa.Table) -> pa.Table:
+        p = (hash_col(t["o_custkey"]) % np.uint64(P)).astype(np.int32)
+        return t.append_column("__p", pa.array(p))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate"], kind="stable")
+        gap = df.groupby("o_custkey")["o_orderdate"].diff().dt.days
+        keep = gap.notna()
+        g = pd.DataFrame({"o_custkey": df["o_custkey"][keep],
+                          "gap": gap[keep].astype("int64")})
+        out = g.groupby("o_custkey", as_index=False).agg(
+            n_gaps=("gap", "size"), gap_sum=("gap", "sum"),
+            max_gap_days=("gap", "max"))
+        return out
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    out["avg_gap_days"] = (out["gap_sum"] / out["n_gaps"]).round(4)
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["max_gap_days"] = out["max_gap_days"].astype("int64")
+    return out[["o_custkey", "n_gaps", "avg_gap_days", "max_gap_days"]] \
+        .sort_values("o_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q54
+
+
+def q54_customer_deciles(sf_dir: str) -> pd.DataFrame:
+    """Global NTILE(10) by customer spend WITHOUT a global sort: the exact
+    window rank comes from q42's distributed prefix-sum shape — per-value-
+    bucket counts (one small groupby) -> driver cumsum over the bounded
+    bucket vector -> per-bucket local sort + broadcast offset gives every
+    customer its exact global rank; DuckDB's NTILE remainder rule
+    (first n%k buckets one larger) is applied to the rank.  No stage ever
+    holds the customer list; driver state is O(#buckets)."""
+    # distributed per-customer spend (in-batch combiner first)
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return (
+            pa.table({"c_custkey": t["o_custkey"], "p_c": cents})
+            .group_by("c_custkey").aggregate([("p_c", "sum")])
+            .rename_columns(["c_custkey", "p_c"])
+        )
+
+    spend = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("p_c", alias_name="cents"))
+        .materialize()  # consumed 3x below (max probe, bucket counts, rank)
+    )
+    mx = spend.max("cents")
+    W = max(1, int(mx) // 4096 + 1)  # <= 4097 value buckets, any spend scale
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "b", pc.cast(pc.divide(t["cents"], pa.scalar(W, pa.int64())),
+                         pa.int64()))
+
+    bds = spend.map_batches(add_bucket, batch_format="pyarrow")
+    bcounts = (
+        bds.map_batches(
+            lambda t: t.select(["b"]).group_by("b").aggregate([([], "count_all")])
+            .rename_columns(["b", "p_n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("b").aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas().sort_values("b")
+    )
+    N = int(bcounts["n"].sum())
+    off = dict(zip(bcounts["b"], bcounts["n"].cumsum() - bcounts["n"]))
+    off_ref = ray.put(off)
+    base, rem = divmod(N, 10)
+
+    def rank_bucket(t: pa.Table, ref=off_ref) -> pa.Table:
+        offs = ray.get(ref)
+        df = t.to_pandas().sort_values(["cents", "c_custkey"])
+        idx = np.arange(len(df), dtype=np.int64) + int(offs[df["b"].iloc[0]])
+        # NTILE remainder rule: the first `rem` tiles hold base+1 rows
+        cut = rem * (base + 1)
+        decile = np.where(idx < cut, idx // max(1, base + 1),
+                          rem + (idx - cut) // max(1, base)) + 1
+        return (
+            pa.table({"decile": pa.array(decile.astype(np.int64)),
+                      "p_n": pa.array(np.ones(len(df), np.int64)),
+                      "p_c": pa.array(df["cents"].to_numpy(np.int64))})
+            .group_by("decile").aggregate([("p_n", "sum"), ("p_c", "sum")])
+            .rename_columns(["decile", "p_n", "p_c"])
+        )
+
+    out = (
+        bds.groupby("b").map_groups(rank_bucket, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("p_n", alias_name="n_customers"),
+                   Sum("p_c", alias_name="c"))
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_spent"] = (out["c"] / 100.0).round(2)
+    out["decile"] = out["decile"].astype("int64")
+    return out[["decile", "n_customers", "total_spent"]].sort_values(
+        "decile").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q55
+
+
+def q55_cube_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / CUBE over (status x priority): ONE distributed
+    finest-grain groupby with in-batch combiners; the 4 grouping sets
+    re-aggregate on the tiny driver-side result (|status| x |priority|
+    rows) — a cube never needs its own shuffles."""
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return (
+            pa.table({"o_orderstatus": t["o_orderstatus"],
+                      "o_orderpriority": t["o_orderpriority"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_c": cents})
+            .group_by(["o_orderstatus", "o_orderpriority"])
+            .aggregate([("p_n", "sum"), ("p_c", "sum")])
+            .rename_columns(["o_orderstatus", "o_orderpriority", "p_n", "p_c"])
+        )
+
+    fine = (
+        _read(sf_dir, "orders",
+              columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_c", alias_name="c"))
+        .to_pandas()
+    )
+    levels = [fine.copy()]
+    for drop in (["o_orderpriority"], ["o_orderstatus"],
+                 ["o_orderstatus", "o_orderpriority"]):
+        keep = [c for c in ("o_orderstatus", "o_orderpriority") if c not in drop]
+        g = fine.groupby(keep, as_index=False)[["n", "c"]].sum() if keep \
+            else fine[["n", "c"]].sum().to_frame().T
+        for d in drop:
+            g[d] = "ALL"
+        levels.append(g)
+    out = pd.concat(levels, ignore_index=True)
+    out["n_orders"] = out["n"].astype("int64")
+    out["total_price"] = (out["c"] / 100.0).round(2)
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "total_price"]] \
+        .sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- q56
+
+
+def q56_interpolated_quantiles(sf_dir: str) -> pd.DataFrame:
+    """CONTINUOUS (interpolated) quantiles from the same zero-shuffle
+    mergeable cent-histogram as q24: the exact sorted (value, count) state
+    yields quantile_cont's ``(N-1)*q`` linear interpolation in closed form
+    on the driver.  Still no row ever shuffles; state is bounded by the
+    price domain, not the corpus."""
+    from ray.data.aggregate import AggregateFnV2 as _AggBase
+
+    from aws_medallion_datalake_ray.functions.dedup import merge_count_states
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    class CentHist(_AggBase):
+        def __init__(self):
+            super().__init__(
+                name="cent_hist",
+                zero_factory=lambda: (np.array([], np.int64),
+                                      np.array([], np.int64)),
+                on=None, ignore_nulls=True,
+            )
+
+        def aggregate_block(self, block):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            cents = pc.cast(
+                pc.round(pc.multiply(tbl["l_extendedprice"], pa.scalar(100.0))),
+                pa.int64())
+            vals, counts = np.unique(np.asarray(cents), return_counts=True)
+            return (vals.astype(np.int64), counts.astype(np.int64))
+
+        def combine(self, a, b):
+            return merge_count_states(a, b)
+
+    vals, counts = ds.aggregate(CentHist())["cent_hist"]
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+
+    def interp(q: float) -> float:
+        pos = q * (total - 1)  # quantile_cont: (N-1)*q with linear interp
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo = vals[np.searchsorted(cum, lo_i + 1)]
+        hi = vals[np.searchsorted(cum, min(lo_i + 1, total - 1) + 1)]
+        return round((lo + (hi - lo) * frac) / 100.0, 4)
+
+    out = {"n_rows": total}
+    for q in (0.25, 0.5, 0.75, 0.9):
+        out[f"p{int(q * 100)}"] = interp(q)
+    return pd.DataFrame([out])
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2477,6 +2699,56 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY rank
         LIMIT 10
     """,
+    "q53_order_gaps": """
+        SELECT o_custkey, count(*) AS n_gaps,
+               round(avg(gap), 4) AS avg_gap_days,
+               max(gap) AS max_gap_days
+        FROM (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+            FROM orders)
+        WHERE gap IS NOT NULL
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+    "q54_customer_deciles": """
+        WITH spend AS (
+            SELECT o_custkey AS c_custkey,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ), tiled AS (
+            SELECT cents, ntile(10) OVER (ORDER BY cents, c_custkey) AS decile
+            FROM spend
+        )
+        SELECT decile, count(*) AS n_customers,
+               round(sum(cents) / 100.0, 2) AS total_spent
+        FROM tiled GROUP BY decile ORDER BY decile
+    """,
+    "q55_cube_orders": """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "q56_interpolated_quantiles": """
+        SELECT count(*) AS n_rows,
+               round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                     0.25) / 100.0, 4) AS p25,
+               round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                     0.5)  / 100.0, 4) AS p50,
+               round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                     0.75) / 100.0, 4) AS p75,
+               round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                     0.9)  / 100.0, 4) AS p90
+        FROM lineitem
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -2549,4 +2821,8 @@ SQL_QUERIES = {
     "q50_cohort_retention": q50_cohort_retention,
     "q51_dml_delete_update": q51_dml_delete_update,
     "q52_ivf_ann_exact": q52_ivf_ann_exact,
+    "q53_order_gaps": q53_order_gaps,
+    "q54_customer_deciles": q54_customer_deciles,
+    "q55_cube_orders": q55_cube_orders,
+    "q56_interpolated_quantiles": q56_interpolated_quantiles,
 }
