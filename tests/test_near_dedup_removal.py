@@ -290,3 +290,27 @@ def test_delete_keys_empty_and_missing(tmp_path, ray_session):
     # keys that match nothing: files may be scanned but no rows disappear
     out = t.delete_keys(["org/zzz\x1fnope\x1f" + "0" * 40])
     assert t.scan().count() == 4
+
+
+def test_batch_jaccard_matches_per_pair_intersect():
+    """The vectorized batch kernel must equal per-pair intersect1d exactly,
+    including empty-set pairs (union 0 -> 1.0)."""
+    import numpy as np
+
+    from aws_medallion_datalake_ray.functions.dedup import _batch_jaccard
+
+    rng = np.random.default_rng(7)
+    A, B = [], []
+    for _ in range(200):
+        A.append(np.unique(rng.integers(0, 500, rng.integers(0, 80))
+                           .astype(np.uint64)))
+        B.append(np.unique(rng.integers(0, 500, rng.integers(0, 80))
+                           .astype(np.uint64)))
+    A.append(np.array([], np.uint64))
+    B.append(np.array([], np.uint64))
+    got = _batch_jaccard(A, B)
+    for j, (a, b) in enumerate(zip(A, B)):
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        u = a.size + b.size - inter
+        assert abs(got[j] - (inter / u if u else 1.0)) < 1e-12
+    assert len(_batch_jaccard([], [])) == 0
