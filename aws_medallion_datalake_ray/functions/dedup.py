@@ -28,22 +28,34 @@ def _add_part(key_cols: tuple[str, ...], num_partitions: int):
     return fn
 
 
-def exact_dedup(ds: Dataset, key_cols, num_partitions: int = 64) -> Dataset:
+def exact_dedup(
+    ds: Dataset, key_cols, num_partitions: int = 64,
+    rebundle_narrow: "bool | int | None" = None,
+) -> Dataset:
     """Keep one arbitrary row per distinct key tuple (D1).
 
     Use when duplicates are exact replicas on the key (e.g. source_files,
     where ``content`` is uniquely determined by (repo, path, commit)).
+
+    ``rebundle_narrow``: set True (or an explicit block count) for
+    NARROW-row inputs (key pairs, hashes) so the partition shuffle's pieces
+    clear Ray's in-band threshold instead of accumulating in the driver
+    heap (``functions/blocks.py``); leave None for wide rows (document
+    content), whose blocks are already plasma-sized.
     """
     key_cols = tuple(key_cols)
 
     def dedup_group(df):
         return df.drop_duplicates(list(key_cols))
 
-    out = (
-        ds.map_batches(_add_part(key_cols, num_partitions), batch_format="pyarrow")
-        .groupby(_PART)
-        .map_groups(dedup_group, batch_format="pandas")
-    )
+    tagged = ds.map_batches(_add_part(key_cols, num_partitions),
+                            batch_format="pyarrow")
+    if rebundle_narrow:
+        from aws_medallion_datalake_ray.functions.blocks import rebundle
+
+        tagged = rebundle(
+            tagged, None if rebundle_narrow is True else rebundle_narrow)
+    out = tagged.groupby(_PART).map_groups(dedup_group, batch_format="pandas")
     return out.drop_columns([_PART])
 
 
@@ -431,13 +443,21 @@ def near_dup_candidate_count(
             }
         )
 
-    rolled = (
+    from aws_medallion_datalake_ray.functions.blocks import rebundle
+
+    counts = (
         ds.select_columns([id_col, text_col])
         # 4096-doc batches: whole-block batches (50k docs) build ~50 MB
         # shingle buffers and load-balance poorly (few tasks, stragglers);
         # tiny blocks pay per-task overhead.  Measured 2.6-2.8x faster than
         # batch_size=None on BOTH block shapes at 16 CPUs / 2.4M docs
         .map_batches(band_partial_counts, batch_format="pyarrow", batch_size=4096)
+    )
+    rolled = (
+        # rebundle the 24 B/row count blocks so the shuffle's per-partition
+        # pieces land in plasma, not the driver heap (blocks.py rationale;
+        # measured: driver ru_maxrss 2.1 GB -> flat at 2.4M docs)
+        rebundle(counts)
         .groupby("__part")
         .map_groups(part_rollup, batch_format="pandas")
         .to_pandas()  # <= P rows of 3 ints
@@ -620,11 +640,16 @@ def near_dup_pairs(
         batch_format="pyarrow",
         batch_size=4096,  # see near_dup_candidate_count: 2.6x vs block-sized
     )
+    from aws_medallion_datalake_ray.functions.blocks import rebundle
+
     pairs = (
-        banded.groupby("bucket")
+        # (id, bucket) rows are ~16-24 B: rebundle so the bucket shuffle's
+        # pieces stream through plasma, not the driver heap (blocks.py)
+        rebundle(banded).groupby("bucket")
         .map_groups(_bucket_pairs_fn(id_col, max_bucket), batch_format="pandas")
     )
-    pairs = exact_dedup(pairs, ("id_a", "id_b")).materialize()
+    pairs = exact_dedup(pairs, ("id_a", "id_b"),
+                        rebundle_narrow=True).materialize()
 
     def _ids_of(t: pa.Table) -> pa.Table:
         ca, cb = t["id_a"], t["id_b"]
@@ -632,7 +657,8 @@ def near_dup_pairs(
         return pa.table({"cid": pa.chunked_array(chunks, type=ca.type)})
 
     ids_ds = exact_dedup(
-        pairs.map_batches(_ids_of, batch_format="pyarrow"), ("cid",)
+        pairs.map_batches(_ids_of, batch_format="pyarrow"), ("cid",),
+        rebundle_narrow=True,
     ).materialize()
     n_cand = ids_ds.count()
     if n_cand == 0:

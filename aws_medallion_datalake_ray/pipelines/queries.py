@@ -1055,7 +1055,7 @@ def _interval_rollup(joined) -> pd.DataFrame:
             joined.map_batches(
                 lambda t: t.select(["interval_id", "user_id"]), batch_format="pyarrow"
             ),
-            ("interval_id", "user_id"),
+            ("interval_id", "user_id"), rebundle_narrow=True,
         )
         .groupby("interval_id")
         .aggregate(Count(alias_name="n_users"))
@@ -1482,8 +1482,10 @@ def q42_sequence_packing(sf_dir: str) -> pd.DataFrame:
         return pa.table({"seq_id": pa.array(vals),
                          "p_docs": pa.array(counts.astype(np.int64))})
 
+    from aws_medallion_datalake_ray.functions.blocks import rebundle
+
     per_seq = (
-        ds.groupby("b")
+        rebundle(ds).groupby("b")
         .map_groups(pack_bucket, batch_format="pyarrow")
         .groupby("seq_id")
         .aggregate(Sum("p_docs", alias_name="docs_in_seq"))
@@ -1573,7 +1575,7 @@ def q44_division_loyal_customers(sf_dir: str) -> pd.DataFrame:
         exact_dedup(
             _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
             .map_batches(pairs, batch_format="pyarrow"),
-            ("o_custkey", "ano"),
+            ("o_custkey", "ano"), rebundle_narrow=True,
         )
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_years"))
@@ -1808,7 +1810,7 @@ def q50_cohort_retention(sf_dir: str) -> pd.DataFrame:
     pairs = exact_dedup(
         _read(sf_dir, "events", columns=["user_id", "ts"])
         .map_batches(day_pairs, batch_format="pyarrow"),
-        ("user_id", "m"), num_partitions=16,
+        ("user_id", "m"), num_partitions=16, rebundle_narrow=True,
     )
     # pairs feeds BOTH the first-month aggregate and the rollup: pin it once
     pairs = pairs.materialize()
@@ -2050,8 +2052,11 @@ def q54_customer_deciles(sf_dir: str) -> pd.DataFrame:
             .rename_columns(["decile", "p_n", "p_c"])
         )
 
+    from aws_medallion_datalake_ray.functions.blocks import rebundle
+
     out = (
-        bds.groupby("b").map_groups(rank_bucket, batch_format="pyarrow")
+        rebundle(bds).groupby("b")
+        .map_groups(rank_bucket, batch_format="pyarrow")
         .groupby("decile")
         .aggregate(Sum("p_n", alias_name="n_customers"),
                    Sum("p_c", alias_name="c"))

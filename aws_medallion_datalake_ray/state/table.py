@@ -2544,8 +2544,13 @@ class LakeTable:
             })
 
         meta = meta_side(removed, 0).union(meta_side(added, 1))
+        from aws_medallion_datalake_ray.functions.blocks import rebundle
+
         changed = (
-            meta.groupby("p").map_groups(classify, batch_format="pyarrow")
+            # 25 B/row hash rows: rebundle so the compare shuffle's pieces
+            # exceed Ray's in-band threshold (blocks.py — driver-heap guard)
+            rebundle(meta)
+            .groupby("p").map_groups(classify, batch_format="pyarrow")
             .to_pandas()
         )
         if len(changed) == 0:
