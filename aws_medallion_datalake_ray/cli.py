@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     p = add("rewrite-stats")
     p.add_argument("--table", required=True)
 
+    p = add("build-blooms")
+    p.add_argument("--table", required=True)
+    p.add_argument("--cols", required=True, help="comma-separated columns to index")
+    p.add_argument("--fpp", type=float, default=0.02)
+
     p = add("verify-scan")
     p.add_argument("--table", required=True)
     p.add_argument("--cols", default="repo,path,commit,lang,content")
@@ -162,6 +167,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "rewrite-stats":
             snap = _table(args.table).rewrite_stats(run_ts=args.run_ts)
             out["snapshot_id"] = snap.snapshot_id
+        elif args.cmd == "build-blooms":
+            snap = _table(args.table).build_blooms(
+                args.cols.split(","), fpp=args.fpp, run_ts=args.run_ts)
+            out["snapshot_id"] = snap.snapshot_id
+            out["bloom_cols"] = snap.summary["bloom_cols"]
         elif args.cmd == "verify-scan":
             t = _table(args.table)
             cols = tuple(args.cols.split(","))

@@ -1,0 +1,121 @@
+"""Per-file Bloom filters for point-lookup file skipping.
+
+Min/max stats prune RANGE predicates but are useless for ``==`` / ``in``
+probes on high-cardinality columns whose per-file ranges overlap (a commit
+hash, a user id: every file's [min,max] spans the whole domain).  Delta and
+Iceberg solve this with per-file Bloom filters; this is the same public
+construction (Bloom 1970; Kirsch-Mitzenmacher double hashing, 2006) sized
+by the standard ``m = -n ln p / (ln 2)^2`` formula.
+
+Engine integration (``LakeTable.build_blooms``): one Ray task per file
+reads ONLY the indexed column, hashes it with the engine's stable SipHash
+(`functions/hashing.hash_col` — the same hash probes the filter at plan
+time, so build and probe can never drift), and ships back a bitset that
+lives in the manifest under ``stats[col]["bloom"]``.  ``prune_files`` then
+drops any file whose filter proves the probe value absent — no false
+negatives by construction, false positives only cost a wasted read.
+
+Scale shape: the bitset is O(rows_per_file) bits at a FIXED false-positive
+rate (default 2% ≈ 8.1 bits/row — a 64 MB file of ~64k rows carries a
+~65 KB filter), manifests stay proportional to file count, and the build
+is embarrassingly parallel with nothing but (path, bitset) pairs crossing
+the cluster.
+"""
+
+from __future__ import annotations
+
+import base64
+import math
+
+import numpy as np
+
+from aws_medallion_datalake_ray.functions.hashing import hash_col
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x + _MIX
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def bloom_params(n: int, fpp: float = 0.02) -> tuple[int, int]:
+    """Optimal (m_bits, k) for ``n`` distinct values at false-positive rate
+    ``fpp`` (standard formulas; m rounded up to a byte boundary)."""
+    n = max(1, n)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing: pos_i = (h1 + i*h2) mod m."""
+    h1 = hashes
+    h2 = _splitmix64(hashes) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int, k: int) -> bytes:
+    """Bitset with every hash's k positions set (vectorized, no Python loop
+    over values)."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(hashes):
+        pos = _positions(np.asarray(hashes, np.uint64).ravel(), m_bits, k)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_contains(bitset: bytes, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Per-hash membership (True = possibly present, False = PROVEN absent)."""
+    hashes = np.asarray(hashes, np.uint64).ravel()
+    if len(hashes) == 0:
+        return np.zeros(0, bool)
+    bits = np.frombuffer(bitset, dtype=np.uint8)
+    pos = _positions(hashes, m_bits, k)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+    return hit.all(axis=0).astype(bool)
+
+
+def bloom_encode(bitset: bytes, m_bits: int, k: int, n: int) -> dict:
+    """Manifest-JSON form of one filter."""
+    return {"m": int(m_bits), "k": int(k), "n": int(n),
+            "b": base64.b64encode(bitset).decode("ascii")}
+
+
+def value_hashes(values) -> np.ndarray:
+    """Stable hashes for bloom build AND probe — one function so the two
+    sides can never disagree.  Accepts an Arrow array/column, numpy array,
+    list, or a single scalar.  Integer PROBE constants must take the same
+    int64 path as Arrow integer COLUMNS (SipHash of an object-dtype python
+    int differs from the int64-array hash — verified empirically)."""
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)) or (
+        hasattr(values, "dtype") and not np.isscalar(values)
+    ):
+        return hash_col(values)
+    if isinstance(values, (list, tuple, set, frozenset)):
+        vals = sorted(values, key=str)
+    else:
+        vals = [values]
+    if vals and all(
+        isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+        for v in vals
+    ):
+        return hash_col(np.array(vals, np.int64))
+    return hash_col(np.array(vals, dtype=object))
+
+
+def bloom_may_contain_any(st_bloom: dict, values) -> bool:
+    """Probe a manifest-stored filter with one or more constants: False
+    means NO probe value can be in the file (safe to skip)."""
+    bitset = base64.b64decode(st_bloom["b"])
+    hits = bloom_contains(bitset, value_hashes(values),
+                          int(st_bloom["m"]), int(st_bloom["k"]))
+    return bool(hits.any())

@@ -113,3 +113,55 @@ def collect_stats(
     for r in refs:
         out.extend(ray.get(r))
     return out
+
+
+# ---------------------------------------------------------------- blooms
+
+
+def file_bloom(abs_path: str, col: str, fpp: float = 0.02) -> dict | None:
+    """Bloom filter of one file's distinct values in ``col`` (reads ONLY that
+    column; returns the manifest-JSON form, or None when the column is
+    absent / unsupported)."""
+    import pyarrow.compute as pc
+
+    from aws_medallion_datalake_ray.functions.bloom import (
+        bloom_build, bloom_encode, bloom_params, value_hashes)
+
+    schema = pq.read_schema(abs_path)
+    if schema.get_field_index(col) < 0:
+        return None
+    t = pq.read_table(abs_path, columns=[col])
+    u = pc.unique(t[col].combine_chunks()).drop_null()
+    h = value_hashes(u)
+    m, k = bloom_params(len(h), fpp)
+    return bloom_encode(bloom_build(h, m, k), m, k, len(h))
+
+
+@ray.remote
+def _bloom_chunk(paths: list[str], cols: tuple[str, ...], fpp: float) -> list[dict]:
+    return [
+        {c: b for c in cols if (b := file_bloom(p, c, fpp)) is not None}
+        for p in paths
+    ]
+
+
+def collect_blooms(
+    abs_paths: list[str], cols: tuple[str, ...], fpp: float = 0.02,
+    chunk: int = 8,
+) -> list[dict]:
+    """Per-file bloom dicts for many files — Ray tasks over file chunks
+    (each task reads only the indexed columns of its files; nothing but
+    (path, bitset) metadata returns to the driver)."""
+    if len(abs_paths) <= 2 or not ray.is_initialized():
+        return [
+            {c: b for c in cols if (b := file_bloom(p, c, fpp)) is not None}
+            for p in abs_paths
+        ]
+    refs = [
+        _bloom_chunk.remote(abs_paths[i: i + chunk], tuple(cols), fpp)
+        for i in range(0, len(abs_paths), chunk)
+    ]
+    out: list[dict] = []
+    for r in refs:
+        out.extend(ray.get(r))
+    return out

@@ -42,10 +42,12 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from aws_medallion_datalake_ray.functions.bloom import bloom_may_contain_any
 from aws_medallion_datalake_ray.functions.dedup import exact_dedup
 from aws_medallion_datalake_ray.functions.zorder import hilbert_key, zorder_key
 from aws_medallion_datalake_ray.schema import DEFAULT_STATS_COLS, SOURCE_FILES_KEY
-from aws_medallion_datalake_ray.stages.stats import collect_stats, parquet_footer_stats
+from aws_medallion_datalake_ray.stages.stats import (
+    collect_blooms, collect_stats, parquet_footer_stats)
 from aws_medallion_datalake_ray.state.ledger import Ledger
 from aws_medallion_datalake_ray.state.manifest import DataFile, ManifestStore, Snapshot
 
@@ -185,8 +187,11 @@ def _apply_inverted_predicate_batch(t: pa.Table, *, predicate: list) -> pa.Table
 def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[DataFile]:
     """Manifest-level pruning: partition values first (exact for ==/in — a
     partitioned file holds exactly one value per partition column), then
-    min/max stats; a file is kept unless pruning *proves* no row can match.
-    Missing partition/stats/bounds -> keep (conservative)."""
+    min/max stats, then per-file Bloom filters (point probes on
+    high-cardinality columns whose min/max ranges all overlap; see
+    ``functions/bloom.py`` / :meth:`LakeTable.build_blooms`); a file is kept
+    unless pruning *proves* no row can match.  Missing
+    partition/stats/bounds/bloom -> keep (conservative)."""
     if not predicate:
         return files
     out = []
@@ -206,6 +211,10 @@ def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[Data
             st = f.stats.get(col)
             if st is None:
                 continue
+            if op in ("==", "in") and st.get("bloom") is not None:
+                if not bloom_may_contain_any(st["bloom"], val):
+                    keep = False
+                    break
             lo, hi = st.get("min"), st.get("max")
             if op == "==" and (
                 (lo is not None and val < lo) or (hi is not None and val > hi)
@@ -448,6 +457,10 @@ class LakeTable:
     @property
     def partition_cols(self) -> tuple[str, ...]:
         return tuple(self.config.get("partition_cols", ()))
+
+    @property
+    def bloom_cols(self) -> tuple[str, ...]:
+        return tuple(self.config.get("bloom_cols", ()))
 
     def abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
@@ -1463,17 +1476,71 @@ class LakeTable:
             with open(os.path.join(self.root, "table.json"), "w") as f:
                 json.dump(self.config, f)
         files = self.files()
-        stats = collect_stats([self.abs(f.path) for f in files], self.stats_cols)
+        abs_paths = [self.abs(f.path) for f in files]
+        stats = collect_stats(abs_paths, self.stats_cols)
         refreshed = [
             DataFile(f.path, r, b, partition=f.partition, stats=s)
             for f, (r, b, s) in zip(files, stats)
         ]
+        if self.bloom_cols:  # re-index so a stats rewrite never loses filters
+            blooms = collect_blooms(
+                abs_paths, self.bloom_cols, float(self.config.get("bloom_fpp", 0.02))
+            )
+            for f, bl in zip(refreshed, blooms):
+                for c, b in bl.items():
+                    f.stats.setdefault(c, {})["bloom"] = b
         return self.store.commit(
             refreshed,
             [f.path for f in files],
             "rewrite-stats",
             run_ts,
             summary={"stats_cols": list(self.stats_cols)},
+        )
+
+    def build_blooms(
+        self,
+        cols: Iterable[str],
+        fpp: float = 0.02,
+        run_ts: str = "1970-01-01T00:00:00",
+    ) -> Snapshot:
+        """Manifest rewrite adding a per-file Bloom filter on each of ``cols``
+        (point-lookup file skipping on high-cardinality columns — the same
+        capability Delta/Iceberg expose as bloom indexes; min/max stats are
+        useless for ``==`` probes when every file's range spans the domain).
+
+        Metadata-only: one Ray task per file chunk reads ONLY the indexed
+        columns and ships back an O(rows_per_file)-bit bitset; data files are
+        untouched.  Filters live in the manifest under ``stats[col]["bloom"]``
+        and are probed by :func:`prune_files` on ``==`` / ``in`` predicates
+        (no false negatives — a skip is a proof of absence).  The column list
+        persists in table config so :meth:`rewrite_stats` re-indexes after
+        maintenance; files rewritten by compact/zorder drop their filters
+        until the next rebuild (conservative: no bloom -> no skip).
+
+        Reference analog: the crawler's column-level metadata catalog
+        (``terraform/main.tf:17-45``) — extended here to value-level skipping.
+        """
+        cols = list(cols)
+        self.config["bloom_cols"] = cols
+        self.config["bloom_fpp"] = float(fpp)
+        with open(os.path.join(self.root, "table.json"), "w") as f:
+            json.dump(self.config, f)
+        files = self.files()
+        blooms = collect_blooms([self.abs(f.path) for f in files], tuple(cols), fpp)
+        refreshed = []
+        for f, bl in zip(files, blooms):
+            stats = {c: dict(v) for c, v in f.stats.items()}
+            for c, b in bl.items():
+                stats.setdefault(c, {})["bloom"] = b
+            refreshed.append(
+                DataFile(f.path, f.rows, f.bytes, partition=f.partition, stats=stats)
+            )
+        return self.store.commit(
+            refreshed,
+            [f.path for f in files],
+            "build-blooms",
+            run_ts,
+            summary={"bloom_cols": cols, "fpp": float(fpp)},
         )
 
     # ------------------------------------------------------------ time travel

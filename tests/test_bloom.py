@@ -1,0 +1,131 @@
+"""Per-file Bloom filters: point-lookup file skipping beyond min/max stats.
+
+The scenario min/max cannot help with: a high-cardinality column (``commit``
+hashes) whose per-file [min, max] ranges all span the whole domain — every
+``==`` probe keeps every file on range stats alone.  ``build_blooms`` must
+make those probes skip, with zero false negatives.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aws_medallion_datalake_ray.functions.bloom import (
+    bloom_build, bloom_contains, bloom_may_contain_any, bloom_encode,
+    bloom_params, value_hashes)
+from aws_medallion_datalake_ray.state.table import LakeTable, prune_files
+
+TS = "2024-01-01T00:00:00"
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp():
+    rng = np.random.default_rng(7)
+    present = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    h = value_hashes(present)
+    m, k = bloom_params(len(h), fpp=0.02)
+    bits = bloom_build(h, m, k)
+    # every inserted value answers "maybe" — no false negatives, ever
+    assert bloom_contains(bits, h, m, k).all()
+    # absent values answer "no" almost always (allow 3x the design fpp)
+    absent = rng.integers(-(2**63), 0, 5000, dtype=np.int64)
+    fp = bloom_contains(bits, value_hashes(absent), m, k).mean()
+    assert fp < 0.06
+
+
+def test_bloom_probe_scalar_matches_column_hash():
+    """An int probe constant must hash identically to the same value read
+    from an Arrow int64 column (build/probe symmetry)."""
+    vals = [3, 1_000_000_007, -42]
+    col_hashes = value_hashes(pa.array(vals, pa.int64()))
+    for v, hc in zip(vals, col_hashes):
+        assert value_hashes(v)[0] == hc
+    svals = ["abc", "xyz-123"]
+    s_hashes = value_hashes(pa.array(svals))
+    for v, hc in zip(svals, s_hashes):
+        assert value_hashes(v)[0] == hc
+
+
+def test_bloom_empty_file_filter_skips_everything():
+    m, k = bloom_params(0, fpp=0.02)
+    enc = bloom_encode(bloom_build(np.array([], np.uint64), m, k), m, k, 0)
+    assert not bloom_may_contain_any(enc, "anything")
+    assert not bloom_may_contain_any(enc, [1, 2, 3])
+
+
+# ---------------------------------------------------------------- table
+
+
+@pytest.fixture()
+def bloom_table(tmp_path, source_files_small):
+    t = LakeTable.create(str(tmp_path / "btbl"))
+    for i in range(0, len(source_files_small), 500):
+        t.append(source_files_small.slice(i, 500), run_ts=TS)
+    return t
+
+
+def test_build_blooms_prunes_point_lookup(bloom_table):
+    t = bloom_table
+    commits = t.to_arrow(columns=["commit"])["commit"].to_pylist()
+    files_before = t.files()
+    # the motivating failure: commit hashes' min/max overlap across files,
+    # so range stats alone keep (nearly) every file for an == probe
+    assert len(prune_files(files_before, [("commit", "==", commits[0])])) >= \
+        len(files_before) - 1
+
+    snap = t.build_blooms(["commit"], run_ts=TS)
+    assert snap.operation == "build-blooms"
+    files = t.files()
+    assert all(f.stats.get("commit", {}).get("bloom") for f in files)
+
+    # present value: correct rows (no false negatives through the full scan)
+    got = t.scan(predicate=[("commit", "==", commits[0])]).count()
+    assert got == sum(1 for c in commits if c == commits[0])
+    # and the probe now skips most files (each commit lives in ~1 file)
+    kept = prune_files(files, [("commit", "==", commits[0])])
+    assert len(kept) < len(files) / 2
+
+    # absent value: proof of absence -> zero files (modulo ~2% fp per file)
+    kept_absent = prune_files(
+        files, [("commit", "==", "0000000000000000000000000000000000000000")]
+    )
+    assert len(kept_absent) <= max(1, len(files) // 10)
+
+
+def test_bloom_in_probe_and_rewrite_stats_reindex(bloom_table):
+    t = bloom_table
+    commits = t.to_arrow(columns=["commit"])["commit"].to_pylist()
+    t.build_blooms(["commit"], run_ts=TS)
+    probe = [commits[0], commits[-1], "not-a-commit"]
+    kept = prune_files(t.files(), [("commit", "in", probe)])
+    assert 1 <= len(kept) < len(t.files())
+    got = t.scan(predicate=[("commit", "in", probe)]).count()
+    assert got == sum(1 for c in commits if c in set(probe))
+
+    # rewrite_stats must re-index (bloom_cols persisted in table config)
+    t.rewrite_stats(run_ts=TS)
+    files = t.files()
+    assert all(f.stats.get("commit", {}).get("bloom") for f in files)
+    kept2 = prune_files(
+        files, [("commit", "==", "0000000000000000000000000000000000000000")]
+    )
+    assert len(kept2) <= max(1, len(files) // 10)
+
+
+def test_compact_drops_blooms_conservatively(bloom_table):
+    """Files rewritten by compaction lose their filters until the next
+    build/rewrite — scans must stay correct (no bloom -> no skip)."""
+    t = bloom_table
+    commits = t.to_arrow(columns=["commit"])["commit"].to_pylist()
+    t.build_blooms(["commit"], run_ts=TS)
+    t.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
+    got = t.scan(predicate=[("commit", "==", commits[0])]).count()
+    assert got == sum(1 for c in commits if c == commits[0])
+    # re-index restores skipping on the compacted layout
+    t.rewrite_stats(run_ts=TS)
+    kept = prune_files(
+        t.files(), [("commit", "==", "0000000000000000000000000000000000000000")]
+    )
+    assert len(kept) <= max(1, len(t.files()) // 10)
