@@ -2166,6 +2166,51 @@ def q56_interpolated_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
+# ---------------------------------------------------------------- q57
+
+
+def q57_bloom_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter point lookup under the value-hash oracle gate.
+
+    documents is ingested into a temp LakeTable as INTERLEAVED chunks
+    (doc_id % 4) so every file's [min, max] spans the whole id domain —
+    the layout where range stats prune NOTHING for an ``==`` / ``in``
+    probe (a commit hash, a user id at 100 TB).  ``build_blooms`` then
+    makes the same probe skip all but the files that truly hold the ids;
+    the scan result is value-hash-checked against DuckDB and the plan is
+    asserted to have actually pruned (kept < total files)."""
+    import shutil
+    import tempfile
+
+    from aws_medallion_datalake_ray.state.table import LakeTable, prune_files
+
+    probe = [0, 7, 41]
+    root = tempfile.mkdtemp(prefix="q57-bloom-")
+    try:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet") \
+            .replace_schema_metadata(None)
+        t = LakeTable.create(f"{root}/documents")
+        mod = pc.bit_wise_and(docs["doc_id"], pa.scalar(3, pa.int64()))
+        for i in range(4):
+            t.append(docs.filter(pc.equal(mod, i)),
+                     run_ts=f"2024-01-01T00:00:0{i}")
+        t.build_blooms(["doc_id"], run_ts="2024-01-01T00:00:04")
+
+        files = t.files()
+        pred = [("doc_id", "in", probe)]
+        kept = prune_files(files, pred)
+        # min/max is blind here (every file spans the domain); the bloom
+        # must be what prunes
+        assert len(kept) < len(files), (len(kept), len(files))
+        out = t.scan(predicate=pred).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out[["doc_id", "text", "lang", "source", "n_chars"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2754,6 +2799,12 @@ ORACLE_SQL: dict[str, str] = {
                      0.9)  / 100.0, 4) AS p90
         FROM lineitem
     """,
+    "q57_bloom_point_lookup": """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE doc_id IN (0, 7, 41)
+        ORDER BY doc_id
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -2830,4 +2881,5 @@ SQL_QUERIES = {
     "q54_customer_deciles": q54_customer_deciles,
     "q55_cube_orders": q55_cube_orders,
     "q56_interpolated_quantiles": q56_interpolated_quantiles,
+    "q57_bloom_point_lookup": q57_bloom_point_lookup,
 }
