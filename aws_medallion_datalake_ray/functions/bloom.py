@@ -71,12 +71,16 @@ def bloom_build(hashes: np.ndarray, m_bits: int, k: int) -> bytes:
     return bits.tobytes()
 
 
-def bloom_contains(bitset: bytes, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """Per-hash membership (True = possibly present, False = PROVEN absent)."""
+def bloom_contains(bitset, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Per-hash membership (True = possibly present, False = PROVEN absent).
+    ``bitset`` may be bytes or a uint8 ndarray (e.g. a zero-copy plasma
+    view)."""
     hashes = np.asarray(hashes, np.uint64).ravel()
     if len(hashes) == 0:
         return np.zeros(0, bool)
-    bits = np.frombuffer(bitset, dtype=np.uint8)
+    bits = (np.frombuffer(bitset, dtype=np.uint8)
+            if isinstance(bitset, (bytes, bytearray, memoryview))
+            else np.asarray(bitset, np.uint8))
     pos = _positions(hashes, m_bits, k)
     hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
     return hit.all(axis=0).astype(bool)
@@ -110,6 +114,41 @@ def value_hashes(values) -> np.ndarray:
     ):
         return hash_col(np.array(vals, np.int64))
     return hash_col(np.array(vals, dtype=object))
+
+
+def dataset_key_bloom(
+    ds, col: str, n: int, fpp: float = 0.01,
+    max_bytes: int = 512 * 1024 * 1024,
+) -> tuple[np.ndarray, int, int] | None:
+    """Bloom filter of a Dataset key column, built distributed: per-block
+    partial bitsets (fixed ``m`` so OR is associative) stream back to the
+    driver and fold incrementally — O(m) driver memory regardless of key
+    count, O(keys x 8 B) worker compute.  Returns ``(bits, m, k)`` or None
+    when ``n`` keys would need a filter over ``max_bytes`` (callers fall
+    back to their unfiltered plan).
+
+    This is the RUNTIME-FILTER (sideways-information-passing) build side:
+    broadcast the bitset once and pre-filter the probe side of a semi/anti
+    join so only bloom-positive rows (true matches + fpp) enter the
+    shuffle."""
+    from aws_medallion_datalake_ray.functions.blocks import rebundle
+
+    m, k = bloom_params(max(1, int(n)), fpp)
+    if m // 8 > max_bytes:
+        return None
+    import pyarrow as pa
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        b = bloom_build(value_hashes(t[col]), m, k)
+        return pa.table({"b": pa.array([b], pa.large_binary())})
+
+    bits = np.zeros(m // 8, np.uint8)
+    parts = rebundle(ds.select_columns([col])).map_batches(
+        block_bloom, batch_format="pyarrow")
+    for bt in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for buf in bt["b"]:
+            bits |= np.frombuffer(buf.as_py(), np.uint8)
+    return bits, m, k
 
 
 def bloom_may_contain_any(st_bloom: dict, values) -> bool:

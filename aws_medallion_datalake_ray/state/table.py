@@ -2128,8 +2128,42 @@ class LakeTable:
             return fn
 
         upd_tagged = updates.map_batches(tag_and_part(1), batch_format="pyarrow")
+        neg_base = None
         if affected:
-            base_tagged = self._read_files(affected).map_batches(
+            base_raw = self._read_files(affected)
+            # Bloom runtime filter: base rows whose key triple bloom-misses
+            # the update key set are PROVEN un-updated — they bypass the
+            # resolve shuffle and stream straight to the writer.  Shuffle
+            # volume drops from |affected rows| + |updates| to
+            # |updated rows| + fpp x |affected| + |updates| (sparse updates
+            # against big files are the common merge at scale).  Same
+            # discipline as _delete_keys_partitioned; no false negatives.
+            from aws_medallion_datalake_ray.functions.bloom import (
+                bloom_contains, dataset_key_bloom, value_hashes)
+
+            upd_keys = updates.map_batches(
+                lambda t, _k=key: pa.table(
+                    {"__k": pa.array(_join_keys(t, _k), pa.string())}),
+                batch_format="pyarrow",
+            )
+            bloom = dataset_key_bloom(upd_keys, "__k", n_updates)
+            if bloom is not None:
+                bits, m_bits, k_hashes = bloom
+                bits_ref = ray.put(bits)
+
+                def bloom_split(t: pa.Table, positive: bool) -> pa.Table:
+                    b = ray.get(bits_ref)  # zero-copy plasma view
+                    hit = bloom_contains(
+                        b, value_hashes(_join_keys(t, key)), m_bits, k_hashes)
+                    return t.filter(pa.array(hit if positive else ~hit))
+
+                neg_base = base_raw.map_batches(
+                    bloom_split, fn_kwargs={"positive": False},
+                    batch_format="pyarrow")
+                base_raw = base_raw.map_batches(
+                    bloom_split, fn_kwargs={"positive": True},
+                    batch_format="pyarrow")
+            base_tagged = base_raw.map_batches(
                 tag_and_part(0), batch_format="pyarrow"
             )
             if schema is not None:
@@ -2156,6 +2190,10 @@ class LakeTable:
                 return batch.select(schema.names).cast(schema)
 
             result = result.map_batches(cast_back, batch_format="pyarrow")
+            if neg_base is not None:
+                neg_base = neg_base.map_batches(cast_back, batch_format="pyarrow")
+        if neg_base is not None:  # proven-unchanged rows skip the shuffle
+            result = result.union(neg_base)
 
         added = self._write_dataset(
             result, min_rows_per_file=self._coalesce_rows_target(affected)
@@ -2169,7 +2207,8 @@ class LakeTable:
             added, removed, "merge", run_ts,
             schema_json=self._commit_file_schema(added),
             summary={"updates": n_updates, "affected_files": len(affected),
-                     "strategy": "partitioned"},
+                     "strategy": "partitioned+bloom" if neg_base is not None
+                     else "partitioned"},
         )
         ledger.finish()
         return {
@@ -2178,6 +2217,8 @@ class LakeTable:
             "files_out": len(added),
             "skew_pre_dedup": pre_dedup,
             "hot_keys": [v for v, _c in hot[:4]],
+            "strategy": "partitioned+bloom" if neg_base is not None
+            else "partitioned",
         }
 
     # ------------------------------------------------------------ near-dup removal
@@ -2364,22 +2405,61 @@ class LakeTable:
         # a multi-node cluster
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         nparts = max(2, ncpu // 2)
-        joined = base.join(
-            rmd, join_type="left_outer", num_partitions=nparts,
-            on=("__k",), right_on=("__rm_key",),
-        )
         schema = self.schema()
 
         def keep_misses(t: pa.Table) -> pa.Table:
-            out = t.filter(pc.is_null(t["__rm_hit"]))
-            out = out.drop_columns(
-                [c for c in ("__k", "__rm_key", "__rm_hit") if c in out.column_names]
+            if "__rm_hit" in t.column_names:  # joined arm; bloom-negative
+                t = t.filter(pc.is_null(t["__rm_hit"]))  # rows skip the join
+            out = t.drop_columns(
+                [c for c in ("__k", "__rm_key", "__rm_hit") if c in t.column_names]
             )
             if schema is not None:
                 out = out.select(schema.names).cast(schema)
             return out
 
-        survivors = joined.map_batches(keep_misses, batch_format="pyarrow")
+        # Bloom runtime filter (sideways information passing): broadcast a
+        # bitset of the removal keys (~1.2 B/key at 1% fpp) and route only
+        # bloom-POSITIVE base rows (true deletes + fpp of survivors) into
+        # the anti-join shuffle — bloom-negative rows are PROVEN survivors
+        # and stream straight to the writer.  Shuffle volume drops from
+        # |base| to |deletes| + fpp x |base|; at sparse-delete 100-TB scale
+        # that is the difference between reshuffling the table and not.
+        # Cost: one narrow pass over the (already-distinct) keys plus a
+        # second column-pruned read of the affected files (the pos/neg
+        # split) — local sequential reads traded against an all-to-all
+        # network shuffle, a win except when most rows match (dense deletes
+        # shuffle nearly everything anyway and the fp stream stays small).
+        # None (filter over the byte cap) falls back to the full join.
+        from aws_medallion_datalake_ray.functions.bloom import (
+            bloom_contains, dataset_key_bloom, value_hashes)
+
+        bloom = dataset_key_bloom(rmd, "__rm_key", n_rm)
+        if bloom is not None:
+            bits, m_bits, k_hashes = bloom
+            bits_ref = ray.put(bits)
+
+            def bloom_split(t: pa.Table, positive: bool) -> pa.Table:
+                b = ray.get(bits_ref)  # zero-copy plasma view per batch
+                hit = bloom_contains(b, value_hashes(t["__k"]), m_bits, k_hashes)
+                return t.filter(pa.array(hit if positive else ~hit))
+
+            pos = base.map_batches(bloom_split, fn_kwargs={"positive": True},
+                                   batch_format="pyarrow")
+            neg = base.map_batches(bloom_split, fn_kwargs={"positive": False},
+                                   batch_format="pyarrow")
+            joined = pos.join(
+                rmd, join_type="left_outer", num_partitions=nparts,
+                on=("__k",), right_on=("__rm_key",),
+            )
+            survivors = joined.map_batches(
+                keep_misses, batch_format="pyarrow"
+            ).union(neg.map_batches(keep_misses, batch_format="pyarrow"))
+        else:
+            joined = base.join(
+                rmd, join_type="left_outer", num_partitions=nparts,
+                on=("__k",), right_on=("__rm_key",),
+            )
+            survivors = joined.map_batches(keep_misses, batch_format="pyarrow")
         added = self._write_dataset(
             survivors, min_rows_per_file=self._coalesce_rows_target(affected)
         )
@@ -2388,7 +2468,7 @@ class LakeTable:
             "removed_keys": int(n_rm),
             "affected_files": len(affected),
             "rows_deleted": sum(f.rows for f in affected) - sum(f.rows for f in added),
-            "strategy": "partitioned",
+            "strategy": "partitioned+bloom" if bloom is not None else "partitioned",
         }
         ledger.mark_completed(operation, removed, [f.path for f in added], summary)
         self.store.commit(

@@ -114,6 +114,69 @@ def test_bloom_in_probe_and_rewrite_stats_reindex(bloom_table):
     assert len(kept2) <= max(1, len(files) // 10)
 
 
+# ------------------------------------------------------- runtime join filter
+
+
+def test_dataset_key_bloom_matches_driver_build():
+    """The distributed per-block OR build equals a single driver-side build
+    (fixed m makes OR associative), and over-budget returns None."""
+    import ray
+
+    from aws_medallion_datalake_ray.functions.bloom import dataset_key_bloom
+
+    keys = [f"key-{i:06d}" for i in range(20_000)]
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(7)
+    got = dataset_key_bloom(ds, "k", len(keys), fpp=0.01)
+    assert got is not None
+    bits, m, k = got
+    m2, k2 = bloom_params(len(keys), 0.01)
+    assert (m, k) == (m2, k2)
+    ref = np.frombuffer(
+        bloom_build(value_hashes(np.array(keys, object)), m, k), np.uint8)
+    assert np.array_equal(bits, ref)
+    assert dataset_key_bloom(ds, "k", len(keys), max_bytes=8) is None
+
+
+def test_delete_keys_partitioned_bloom_runtime_filter(tmp_path, source_files_small):
+    """The partitioned anti-join must report the bloom plan and produce the
+    exact same survivor multiset as the broadcast plan."""
+    from aws_medallion_datalake_ray.functions.hashing import sha256_col  # noqa: F401
+
+    ta = LakeTable.create(str(tmp_path / "a"))
+    tb = LakeTable.create(str(tmp_path / "b"))
+    for t in (ta, tb):
+        for i in range(0, len(source_files_small), 700):
+            t.append(source_files_small.slice(i, 700), run_ts=TS)
+    rows = source_files_small.to_pylist()
+    keys = ["\x1f".join([r["repo"], r["path"], r["commit"]])
+            for r in rows[5:400:7]]
+    ra = ta.delete_keys(list(keys), strategy="partitioned", run_ts=TS)
+    rb = tb.delete_keys(list(keys), strategy="broadcast", run_ts=TS)
+    assert ra["strategy"] == "partitioned+bloom"
+    assert ra["rows_deleted"] == rb["rows_deleted"] == len(keys)
+    cols = ("repo", "path", "commit", "lang", "content")
+    assert ta.content_fingerprint(cols) == tb.content_fingerprint(cols)
+
+
+def test_merge_partitioned_bloom_runtime_filter(tmp_path, source_files_small):
+    """Partitioned merge with the bloom prefilter == broadcast merge result."""
+    import ray
+
+    from aws_medallion_datalake_ray.sources.fixtures import make_updates
+
+    ta = LakeTable.create(str(tmp_path / "ma"))
+    tb = LakeTable.create(str(tmp_path / "mb"))
+    for t in (ta, tb):
+        for i in range(0, len(source_files_small), 700):
+            t.append(source_files_small.slice(i, 700), run_ts=TS)
+    upd = make_updates(source_files_small, 250, seed=9)
+    ra = ta.merge_partitioned(ray.data.from_arrow(upd), run_ts=TS)
+    tb.merge(upd, run_ts=TS, strategy="broadcast")
+    assert ra["strategy"] == "partitioned+bloom"
+    cols = ("repo", "path", "commit", "lang", "content")
+    assert ta.content_fingerprint(cols) == tb.content_fingerprint(cols)
+
+
 def test_compact_drops_blooms_conservatively(bloom_table):
     """Files rewritten by compaction lose their filters until the next
     build/rewrite — scans must stay correct (no bloom -> no skip)."""

@@ -216,7 +216,7 @@ def test_dedup_near_partitioned_path_sha256_multiset_exact(tmp_path, ray_session
     t_base.append(base)
 
     res = t.dedup_near(text_col="content", threshold=0.5, broadcast_threshold=0)
-    assert res.get("strategy") == "partitioned"
+    assert res.get("strategy", "").startswith("partitioned")
     assert res["rows_deleted"] == 6 and res["near_dup_rows"] == 6
     assert t.scan().count() == 40
     assert t.sha256_checksum("content") == t_base.sha256_checksum("content")
@@ -244,7 +244,7 @@ def test_delete_keys_partitioned_strategy_direct(tmp_path, ray_session):
         "\x1f".join([df["repo"][i], df["path"][i], df["commit"][i]]) for i in (0, 5, 9)
     ]
     out = t.delete_keys(keys + keys[:1], strategy="partitioned")
-    assert out["strategy"] == "partitioned"
+    assert out["strategy"].startswith("partitioned")
     assert out["removed_keys"] == 3 and out["rows_deleted"] == 3
     surv = t.to_arrow(columns=["path"])["path"].to_pylist()
     assert set(surv) == {f"p{i}" for i in range(30)} - {"p0", "p5", "p9"}
