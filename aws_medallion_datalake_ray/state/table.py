@@ -272,6 +272,19 @@ def predicate_covers_file(f: DataFile, predicate: Predicate) -> bool:
     return True
 
 
+def _multi_node() -> bool:
+    """True on a real multi-node cluster — the regime where an all-to-all
+    shuffle costs network and a bloom runtime filter pays for its extra
+    local passes.  Single-node shuffles move through local plasma at
+    memory bandwidth, which the filter's own routing passes also consume
+    (measured: 1.7x slower locally at 600k rows / 3% deletes), so 'auto'
+    keeps it off there."""
+    try:
+        return len([n for n in ray.nodes() if n.get("Alive")]) > 1
+    except Exception:
+        return False
+
+
 def predicate_to_expr(predicate: Predicate | None):
     if not predicate:
         return None
@@ -2050,6 +2063,7 @@ class LakeTable:
         job_id: str | None = None,
         num_partitions: int = 64,
         skew_guard: "bool | str" = "auto",
+        runtime_filter: "bool | str" = "auto",
     ) -> dict[str, Any]:
         """MERGE INTO for huge update sides: salted hash join.
 
@@ -2070,7 +2084,12 @@ class LakeTable:
         a Misra-Gries ``hot_keys`` pre-pass over the JOINED key triple (one
         streaming aggregate, O(k) driver state) and enables the in-batch
         combiner only when one triple holds >=5% of the stream; True/False
-        force it on/off."""
+        force it on/off.
+
+        ``runtime_filter``: bloom-prefilter the base side so rows whose key
+        triple provably has no update bypass the resolve shuffle ("auto" =
+        only on multi-node clusters where the shuffle costs network;
+        True/False force)."""
         key = tuple(key)
         n_updates = updates.count()
         if n_updates == 0:
@@ -2141,27 +2160,37 @@ class LakeTable:
             from aws_medallion_datalake_ray.functions.bloom import (
                 bloom_contains, dataset_key_bloom, value_hashes)
 
+            use_rf = (runtime_filter is True
+                      or (runtime_filter == "auto" and _multi_node()))
             upd_keys = updates.map_batches(
                 lambda t, _k=key: pa.table(
                     {"__k": pa.array(_join_keys(t, _k), pa.string())}),
                 batch_format="pyarrow",
             )
-            bloom = dataset_key_bloom(upd_keys, "__k", n_updates)
+            bloom = dataset_key_bloom(upd_keys, "__k", n_updates) \
+                if use_rf else None
             if bloom is not None:
                 bits, m_bits, k_hashes = bloom
                 bits_ref = ray.put(bits)
 
-                def bloom_split(t: pa.Table, positive: bool) -> pa.Table:
+                def bloom_tag(t: pa.Table) -> pa.Table:
                     b = ray.get(bits_ref)  # zero-copy plasma view
                     hit = bloom_contains(
                         b, value_hashes(_join_keys(t, key)), m_bits, k_hashes)
-                    return t.filter(pa.array(hit if positive else ~hit))
+                    return t.append_column("__bh", pa.array(hit.astype(np.int8)))
 
-                neg_base = base_raw.map_batches(
-                    bloom_split, fn_kwargs={"positive": False},
+                def take_route(t: pa.Table, positive: bool) -> pa.Table:
+                    mask = pc.equal(t["__bh"], 1 if positive else 0)
+                    return t.filter(mask).drop_columns(["__bh"])
+
+                # read + hash once; routing passes read plasma, not parquet
+                tagged = base_raw.map_batches(
+                    bloom_tag, batch_format="pyarrow").materialize()
+                neg_base = tagged.map_batches(
+                    take_route, fn_kwargs={"positive": False},
                     batch_format="pyarrow")
-                base_raw = base_raw.map_batches(
-                    bloom_split, fn_kwargs={"positive": True},
+                base_raw = tagged.map_batches(
+                    take_route, fn_kwargs={"positive": True},
                     batch_format="pyarrow")
             base_tagged = base_raw.map_batches(
                 tag_and_part(0), batch_format="pyarrow"
@@ -2194,6 +2223,12 @@ class LakeTable:
                 neg_base = neg_base.map_batches(cast_back, batch_format="pyarrow")
         if neg_base is not None:  # proven-unchanged rows skip the shuffle
             result = result.union(neg_base)
+            # re-bundle (split/merge, no all-to-all) so the two-branch union
+            # cannot fragment the output files
+            est_rows = sum(f.rows for f in affected) + int(n_updates)
+            result = result.repartition(
+                max(1, est_rows // self._coalesce_rows_target(affected) + 1)
+            )
 
         added = self._write_dataset(
             result, min_rows_per_file=self._coalesce_rows_target(affected)
@@ -2232,6 +2267,7 @@ class LakeTable:
         operation: str = "delete",
         broadcast_threshold: int = 2_000_000,
         strategy: str = "auto",
+        runtime_filter: "bool | str" = "auto",
     ) -> dict[str, Any]:
         """Copy-on-write DELETE of the rows whose joined key string is in
         ``removal_keys``.  Two physical plans (mirror of :meth:`merge`):
@@ -2246,7 +2282,10 @@ class LakeTable:
 
         ``removal_keys`` may be a driver array/list of joined key strings or
         a single-column Dataset of them; ``strategy``: "auto" (count-based),
-        "broadcast", or "partitioned"."""
+        "broadcast", or "partitioned".  ``runtime_filter``: bloom-prefilter
+        the partitioned anti-join so proven-surviving rows skip the shuffle
+        ("auto" = only on multi-node clusters, where the shuffle is network;
+        True/False force)."""
         key = tuple(key)
         if isinstance(removal_keys, ray.data.Dataset):
             from aws_medallion_datalake_ray.functions.dedup import exact_dedup
@@ -2273,6 +2312,7 @@ class LakeTable:
                 return self._delete_keys_partitioned(
                     rmd, key=key, run_ts=run_ts, job_id=job_id,
                     operation=operation, prepared=True,
+                    runtime_filter=runtime_filter,
                 )
             removal_keys = rmd.unique("__rm_key")
         raw = np.asarray(list(removal_keys), dtype=object)
@@ -2284,6 +2324,7 @@ class LakeTable:
             return self._delete_keys_partitioned(
                 ray.data.from_arrow(pa.table({"__rm_key": pa.array(raw, pa.string())})),
                 key=key, run_ts=run_ts, job_id=job_id, operation=operation,
+                runtime_filter=runtime_filter,
             )
         lens_all = np.array([len(x.encode("utf-8")) for x in raw], dtype=np.int32)
         fixed = _to_fixed_bytes(raw, f"S{max(1, int(lens_all.max()))}")
@@ -2342,6 +2383,7 @@ class LakeTable:
         job_id: str | None,
         operation: str,
         prepared: bool = False,
+        runtime_filter: "bool | str" = "auto",
     ) -> dict[str, Any]:
         """DELETE for huge removal key sets: distributed anti-join.
 
@@ -2399,7 +2441,6 @@ class LakeTable:
         def add_k(t: pa.Table) -> pa.Table:
             return t.append_column("__k", pa.array(_join_keys(t, key), pa.string()))
 
-        base = self._read_files(affected).map_batches(add_k, batch_format="pyarrow")
         # join aggregators are actors — more partitions than CPUs deadlocks a
         # small cluster; ~half the CPUs still means hundreds of partitions on
         # a multi-node cluster
@@ -2423,30 +2464,46 @@ class LakeTable:
         # the anti-join shuffle — bloom-negative rows are PROVEN survivors
         # and stream straight to the writer.  Shuffle volume drops from
         # |base| to |deletes| + fpp x |base|; at sparse-delete 100-TB scale
-        # that is the difference between reshuffling the table and not.
-        # Cost: one narrow pass over the (already-distinct) keys plus a
-        # second column-pruned read of the affected files (the pos/neg
-        # split) — local sequential reads traded against an all-to-all
-        # network shuffle, a win except when most rows match (dense deletes
-        # shuffle nearly everything anyway and the fp stream stays small).
-        # None (filter over the byte cap) falls back to the full join.
+        # that is the difference between reshuffling the table over the
+        # network and not.  The base is read and key-hashed ONCE (the hit
+        # bit rides as a column); the tagged scan is materialized so the
+        # pos/neg routing reads plasma, not parquet twice — no worse than
+        # the unfiltered plan, whose join holds the same rows in shuffle
+        # partitions.  Survivors are re-bundled (split/merge repartition,
+        # no all-to-all) before the write so the two-branch union cannot
+        # fragment the output files.  ``runtime_filter="auto"`` enables it
+        # only on multi-node clusters (see :func:`_multi_node` — locally
+        # the avoided shuffle is plasma-speed and the filter's routing
+        # passes cost more than they save); None (filter over the byte
+        # cap) falls back to the full join.
         from aws_medallion_datalake_ray.functions.bloom import (
             bloom_contains, dataset_key_bloom, value_hashes)
 
-        bloom = dataset_key_bloom(rmd, "__rm_key", n_rm)
+        use_rf = (runtime_filter is True
+                  or (runtime_filter == "auto" and _multi_node()))
+        bloom = dataset_key_bloom(rmd, "__rm_key", n_rm) if use_rf else None
         if bloom is not None:
             bits, m_bits, k_hashes = bloom
             bits_ref = ray.put(bits)
 
-            def bloom_split(t: pa.Table, positive: bool) -> pa.Table:
+            def add_k_tag(t: pa.Table) -> pa.Table:
+                ks = _join_keys(t, key)
                 b = ray.get(bits_ref)  # zero-copy plasma view per batch
-                hit = bloom_contains(b, value_hashes(t["__k"]), m_bits, k_hashes)
-                return t.filter(pa.array(hit if positive else ~hit))
+                hit = bloom_contains(b, value_hashes(ks), m_bits, k_hashes)
+                t = t.append_column("__k", pa.array(ks, pa.string()))
+                return t.append_column("__bh", pa.array(hit.astype(np.int8)))
 
-            pos = base.map_batches(bloom_split, fn_kwargs={"positive": True},
-                                   batch_format="pyarrow")
-            neg = base.map_batches(bloom_split, fn_kwargs={"positive": False},
-                                   batch_format="pyarrow")
+            tagged = self._read_files(affected).map_batches(
+                add_k_tag, batch_format="pyarrow").materialize()
+
+            def take_route(t: pa.Table, positive: bool) -> pa.Table:
+                mask = pc.equal(t["__bh"], 1 if positive else 0)
+                return t.filter(mask).drop_columns(["__bh"])
+
+            pos = tagged.map_batches(take_route, fn_kwargs={"positive": True},
+                                     batch_format="pyarrow")
+            neg = tagged.map_batches(take_route, fn_kwargs={"positive": False},
+                                     batch_format="pyarrow")
             joined = pos.join(
                 rmd, join_type="left_outer", num_partitions=nparts,
                 on=("__k",), right_on=("__rm_key",),
@@ -2454,7 +2511,13 @@ class LakeTable:
             survivors = joined.map_batches(
                 keep_misses, batch_format="pyarrow"
             ).union(neg.map_batches(keep_misses, batch_format="pyarrow"))
+            est_rows = max(1, sum(f.rows for f in affected) - int(n_rm))
+            survivors = survivors.repartition(
+                max(1, est_rows // self._coalesce_rows_target(affected) + 1)
+            )
         else:
+            base = self._read_files(affected).map_batches(
+                add_k, batch_format="pyarrow")
             joined = base.join(
                 rmd, join_type="left_outer", num_partitions=nparts,
                 on=("__k",), right_on=("__rm_key",),

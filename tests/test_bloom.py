@@ -150,7 +150,8 @@ def test_delete_keys_partitioned_bloom_runtime_filter(tmp_path, source_files_sma
     rows = source_files_small.to_pylist()
     keys = ["\x1f".join([r["repo"], r["path"], r["commit"]])
             for r in rows[5:400:7]]
-    ra = ta.delete_keys(list(keys), strategy="partitioned", run_ts=TS)
+    ra = ta.delete_keys(list(keys), strategy="partitioned", run_ts=TS,
+                        runtime_filter=True)  # 'auto' is off on one node
     rb = tb.delete_keys(list(keys), strategy="broadcast", run_ts=TS)
     assert ra["strategy"] == "partitioned+bloom"
     assert ra["rows_deleted"] == rb["rows_deleted"] == len(keys)
@@ -170,11 +171,20 @@ def test_merge_partitioned_bloom_runtime_filter(tmp_path, source_files_small):
         for i in range(0, len(source_files_small), 700):
             t.append(source_files_small.slice(i, 700), run_ts=TS)
     upd = make_updates(source_files_small, 250, seed=9)
-    ra = ta.merge_partitioned(ray.data.from_arrow(upd), run_ts=TS)
+    ra = ta.merge_partitioned(ray.data.from_arrow(upd), run_ts=TS,
+                              runtime_filter=True)  # 'auto' off on one node
     tb.merge(upd, run_ts=TS, strategy="broadcast")
     assert ra["strategy"] == "partitioned+bloom"
     cols = ("repo", "path", "commit", "lang", "content")
     assert ta.content_fingerprint(cols) == tb.content_fingerprint(cols)
+
+
+def test_runtime_filter_auto_off_single_node():
+    """'auto' must resolve to OFF in this single-node sandbox (the filter
+    only pays when the avoided shuffle crosses a network)."""
+    from aws_medallion_datalake_ray.state.table import _multi_node
+
+    assert _multi_node() is False
 
 
 def test_compact_drops_blooms_conservatively(bloom_table):
