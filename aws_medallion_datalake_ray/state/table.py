@@ -272,6 +272,39 @@ def predicate_covers_file(f: DataFile, predicate: Predicate) -> bool:
     return True
 
 
+def _files_for_first_keys(
+    files: list[DataFile], col: str, firsts: np.ndarray,
+    probe_cap: int = 100_000,
+) -> list[DataFile]:
+    """Files that may hold a row whose ``col`` value is in the sorted
+    ``firsts`` array (the distinct first key components of a DELETE/MERGE
+    key set) — min/max range intersection first, then, when the manifest
+    carries a Bloom filter for ``col`` (:meth:`LakeTable.build_blooms`),
+    a vectorized probe of the in-range candidates: a file whose filter
+    proves every candidate absent cannot contain a matching key and is
+    skipped with zero IO.  Missing stats/bloom -> keep (conservative);
+    ranges holding more than ``probe_cap`` candidates skip the probe (the
+    k x n position matrix would outweigh the read it saves)."""
+    from aws_medallion_datalake_ray.functions.bloom import bloom_may_contain_any
+
+    out = []
+    for f in files:
+        st = f.stats.get(col)
+        if st is None or st.get("min") is None or st.get("max") is None:
+            out.append(f)
+            continue
+        i = np.searchsorted(firsts, st["min"])
+        j = np.searchsorted(firsts, st["max"], side="right")
+        if i >= j:
+            continue
+        bl = st.get("bloom")
+        if bl is not None and (j - i) <= probe_cap and \
+                not bloom_may_contain_any(bl, firsts[i:j]):
+            continue
+        out.append(f)
+    return out
+
+
 def _multi_node() -> bool:
     """True on a real multi-node cluster — the regime where an all-to-all
     shuffle costs network and a bloom runtime filter pays for its extra
@@ -1989,18 +2022,9 @@ class LakeTable:
         phases["keys"] = round(time.perf_counter() - _pt, 3)
         _pt = time.perf_counter()
 
-        # --- prune base files via first-key-column stats
-        base_files = self.files()
-        affected: list[DataFile] = []
-        for f in base_files:
-            st = f.stats.get(key[0])
-            if st is None or st.get("min") is None or st.get("max") is None:
-                affected.append(f)
-                continue
-            lo, hi = st["min"], st["max"]
-            i = np.searchsorted(upd_first, lo)
-            if i < len(upd_first) and upd_first[i] <= hi:
-                affected.append(f)
+        # --- prune base files via first-key-column stats (+ manifest bloom
+        # probe when build_blooms indexed the key column)
+        affected = _files_for_first_keys(self.files(), key[0], upd_first)
 
         job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
         ledger = Ledger(self.root, job_id, op="merge", run_ts=run_ts)
@@ -2114,17 +2138,9 @@ class LakeTable:
             )
 
         # distributed distinct of the first key column for file pruning
+        # (+ manifest bloom probe when build_blooms indexed the key column)
         upd_first = np.array(sorted(updates.unique(key[0])), dtype=object)
-        base_files = self.files()
-        affected: list[DataFile] = []
-        for f in base_files:
-            st = f.stats.get(key[0])
-            if st is None or st.get("min") is None or st.get("max") is None:
-                affected.append(f)
-                continue
-            i = np.searchsorted(upd_first, st["min"])
-            if i < len(upd_first) and upd_first[i] <= st["max"]:
-                affected.append(f)
+        affected = _files_for_first_keys(self.files(), key[0], upd_first)
 
         job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
         ledger = Ledger(self.root, job_id, op="merge-partitioned", run_ts=run_ts)
@@ -2335,15 +2351,7 @@ class LakeTable:
         rm_first = np.unique(
             np.array([s.split(_KEY_SEP)[0] for s in raw], dtype=object)
         )
-        affected: list[DataFile] = []
-        for f in self.files():
-            st = f.stats.get(key[0])
-            if st is None or st.get("min") is None or st.get("max") is None:
-                affected.append(f)
-                continue
-            i = np.searchsorted(rm_first, st["min"])
-            if i < len(rm_first) and rm_first[i] <= st["max"]:
-                affected.append(f)
+        affected = _files_for_first_keys(self.files(), key[0], rm_first)
         if not affected:
             return {"removed_keys": int(len(uniq)), "affected_files": 0, "files_out": 0}
 
@@ -2422,15 +2430,7 @@ class LakeTable:
             sorted(rmd.map_batches(first_comp, batch_format="pyarrow").unique("f")),
             dtype=object,
         )
-        affected: list[DataFile] = []
-        for f in self.files():
-            st = f.stats.get(key[0])
-            if st is None or st.get("min") is None or st.get("max") is None:
-                affected.append(f)
-                continue
-            i = np.searchsorted(rm_first, st["min"])
-            if i < len(rm_first) and rm_first[i] <= st["max"]:
-                affected.append(f)
+        affected = _files_for_first_keys(self.files(), key[0], rm_first)
         if not affected:
             return {"removed_keys": int(n_rm), "affected_files": 0, "files_out": 0}
 

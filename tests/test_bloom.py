@@ -179,6 +179,44 @@ def test_merge_partitioned_bloom_runtime_filter(tmp_path, source_files_small):
     assert ta.content_fingerprint(cols) == tb.content_fingerprint(cols)
 
 
+def test_manifest_blooms_prune_merge_delete_affected_files(tmp_path):
+    """DELETE/MERGE file pruning: when every file's first-key range spans
+    the domain, range intersect keeps all files — a manifest bloom on the
+    key column must shrink the affected set (fewer copy-on-write rewrites)
+    without changing the result."""
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    import pandas as pd
+
+    n = 400
+    df = pd.DataFrame({
+        "repo": [f"org/r{i % 40:02d}" for i in range(n)],
+        "path": [f"p{i}" for i in range(n)],
+        "commit": [f"{i:040x}" for i in range(n)],
+        "lang": ["py"] * n,
+        "content": [f"line {i} " * 3 for i in range(n)],
+    })
+    t = LakeTable.create(str(tmp_path / "t"))
+    # interleave repos across 4 files: every file's repo range spans all
+    for r in range(4):
+        part = df[df.index % 4 == r]
+        t.append(pa.Table.from_pandas(part, preserve_index=False)
+                 .cast(SOURCE_FILES_SCHEMA), run_ts=TS)
+    t.build_blooms(["repo"], run_ts=TS)
+    n_files = len(t.files())
+
+    # delete rows of ONE repo that lives in exactly one file (index % 4
+    # fixed => repo r00 rows all have index % 40 == 0, i.e. index % 4 == 0)
+    rows = df[df["repo"] == "org/r00"]
+    keys = ["\x1f".join([r.repo, r.path, r.commit])
+            for r in rows.itertuples(index=False)]
+    out = t.delete_keys(keys, run_ts=TS)
+    assert out["rows_deleted"] == len(keys)
+    assert out["affected_files"] == 1 < n_files
+    assert t.scan(predicate=[("repo", "==", "org/r00")]).count() == 0
+    assert sum(f.rows for f in t.files()) == n - len(keys)
+
+
 def test_runtime_filter_auto_off_single_node():
     """'auto' must resolve to OFF in this single-node sandbox (the filter
     only pays when the avoided shuffle crosses a network)."""
