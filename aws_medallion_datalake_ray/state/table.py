@@ -1888,6 +1888,12 @@ class LakeTable:
         covered = sum(
             1 for f in files
             if all(f.stats.get(c, {}).get("min") is not None for c in scols)
+            # bloom coverage counts too: compact/merge rewrite files WITHOUT
+            # filters (conservative), so a maintained bloom-indexed table
+            # re-indexes here (rewrite_stats rebuilds configured blooms)
+            and all(f.stats.get(c, {}).get("bloom") is not None
+                    for c in self.bloom_cols
+                    if sch is None or sch.get_field_index(c) >= 0)
         )
         if scols and files and covered / len(files) < stats_coverage:
             snap = self.rewrite_stats(run_ts=run_ts)

@@ -227,15 +227,19 @@ def test_runtime_filter_auto_off_single_node():
 
 def test_compact_drops_blooms_conservatively(bloom_table):
     """Files rewritten by compaction lose their filters until the next
-    build/rewrite — scans must stay correct (no bloom -> no skip)."""
+    build/rewrite — scans must stay correct (no bloom -> no skip), and the
+    maintenance autopilot must notice the coverage drop and re-index."""
     t = bloom_table
     commits = t.to_arrow(columns=["commit"])["commit"].to_pylist()
     t.build_blooms(["commit"], run_ts=TS)
     t.compact(target_file_bytes=4 * 1024 * 1024, run_ts=TS)
     got = t.scan(predicate=[("commit", "==", commits[0])]).count()
     assert got == sum(1 for c in commits if c == commits[0])
-    # re-index restores skipping on the compacted layout
-    t.rewrite_stats(run_ts=TS)
+    assert any(f.stats.get("commit", {}).get("bloom") is None for f in t.files())
+    # the autopilot counts bloom coverage: it must re-index here
+    actions = t.maintain(run_ts=TS, target_file_bytes=4 * 1024 * 1024)
+    assert "rewrite_stats" in actions
+    assert all(f.stats.get("commit", {}).get("bloom") for f in t.files())
     kept = prune_files(
         t.files(), [("commit", "==", "0000000000000000000000000000000000000000")]
     )
