@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--where", action="append", required=True,
                    help="col:op:value term (repeatable, ANDed); op in ==,<,<=,>,>=")
+    p.add_argument("--lazy", action="store_true",
+                   help="merge-on-read: record the predicate as a pending "
+                        "delete spec (O(manifest)); scans mask the rows")
+
+    p = add("apply-deletes")
+    p.add_argument("--table", required=True)
 
     p = add("update-where")
     p.add_argument("--table", required=True)
@@ -200,13 +206,17 @@ def main(argv: list[str] | None = None) -> int:
                 pred.append((col, op, _coerce(val)))
             t = _table(args.table)
             if args.cmd == "delete-where":
-                out |= t.delete_where(pred, run_ts=args.run_ts)
+                out |= t.delete_where(
+                    pred, run_ts=args.run_ts,
+                    mode="lazy" if args.lazy else "copy-on-write")
             else:
                 sets = {}
                 for pair in args.set:
                     k, _, v = pair.partition("=")
                     sets[k] = _coerce(v)
                 out |= t.update_where(pred, sets, run_ts=args.run_ts)
+        elif args.cmd == "apply-deletes":
+            out |= _table(args.table).apply_pending_deletes(run_ts=args.run_ts)
         elif args.cmd == "maintain":
             out["actions"] = _table(args.table).maintain(
                 run_ts=args.run_ts, target_file_bytes=args.target_mb << 20,

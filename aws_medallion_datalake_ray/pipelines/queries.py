@@ -2211,6 +2211,76 @@ def q57_bloom_point_lookup(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------------------------------- q58
+
+
+def q58_mor_delete(sf_dir: str) -> pd.DataFrame:
+    """MERGE-ON-READ DELETE under the value-hash oracle gate (the lazy twin
+    of q51's copy-on-write DML; Iceberg-v2 delete-file semantics).  orders
+    goes into a temp LakeTable partitioned by o_orderstatus, then two lazy
+    deletes run as METADATA-ONLY commits:
+
+    1. ``DELETE WHERE o_orderstatus='F'`` — whole partitions drop with zero
+       IO (covered files need no spec even in lazy mode);
+    2. ``DELETE WHERE o_totalprice > 420000`` — no file is rewritten; the
+       predicate rides the snapshot chain as a pending spec and every scan
+       masks the rows batch-side.
+
+    The aggregate below is computed FROM THE MASKED SCAN (specs still
+    pending — asserted), and the result must hash-match DuckDB's post-DELETE
+    state; `apply_pending_deletes` is then checked to change nothing
+    logically while physically removing the rows."""
+    import shutil
+    import tempfile
+
+    from aws_medallion_datalake_ray.state.table import LakeTable
+
+    root = tempfile.mkdtemp(prefix="q58-mor-")
+    try:
+        t = LakeTable.create(f"{root}/orders", partition_cols=("o_orderstatus",))
+        t.append(pq.read_table(f"{sf_dir}/orders.parquet")
+                 .replace_schema_metadata(None),
+                 run_ts="2024-01-01T00:00:00")
+        d1 = t.delete_where([("o_orderstatus", "==", "F")],
+                            run_ts="2024-01-01T00:00:01", mode="lazy")
+        assert d1["files_dropped"] > 0 and d1["files_rewritten"] == 0, d1
+        d2 = t.delete_where([("o_totalprice", ">", 420000.0)],
+                            run_ts="2024-01-01T00:00:02", mode="lazy")
+        assert d2["files_rewritten"] == 0 and d2["files_masked"] > 0, d2
+        assert t._pending_deletes(), "spec must still be pending for the scan"
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                                 pa.scalar(100.0))), pa.int64())
+            return (
+                pa.table({"o_orderstatus": b["o_orderstatus"],
+                          "p_c": cents,
+                          "p_n": pa.array(np.ones(len(b), np.int64))})
+                .group_by(["o_orderstatus"])
+                .aggregate([("p_c", "sum"), ("p_n", "sum")])
+                .rename_columns(["o_orderstatus", "p_c", "p_n"])
+            )
+
+        out = (
+            t.scan(columns=["o_orderstatus", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+            .to_pandas()
+        )
+        res = t.apply_pending_deletes(run_ts="2024-01-01T00:00:03")
+        assert res["specs_applied"] == 1 and not t._pending_deletes()
+        n_after = t.scan(columns=["o_orderstatus"]).count()
+        assert n_after == int(out["n"].sum()), (n_after, int(out["n"].sum()))
+
+        out["total_price"] = (out["c"] / 100.0).round(2)
+        out["n_orders"] = out["n"].astype("int64")
+        return out[["o_orderstatus", "n_orders", "total_price"]] \
+            .sort_values("o_orderstatus").reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2805,6 +2875,18 @@ ORACLE_SQL: dict[str, str] = {
         WHERE doc_id IN (0, 7, 41)
         ORDER BY doc_id
     """,
+    "q58_mor_delete": """
+        -- post-DELETE state as a pure SELECT (survivor filter), matching
+        -- the engine's masked merge-on-read scan before materialization
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND o_totalprice <= 420000.0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -2882,4 +2964,5 @@ SQL_QUERIES = {
     "q55_cube_orders": q55_cube_orders,
     "q56_interpolated_quantiles": q56_interpolated_quantiles,
     "q57_bloom_point_lookup": q57_bloom_point_lookup,
+    "q58_mor_delete": q58_mor_delete,
 }

@@ -277,6 +277,14 @@ class ManifestStore:
                 and "evolution" not in (summary or {})
             ):
                 summary = dict(summary or {}, evolution=head.summary["evolution"])
+            # pending merge-on-read delete specs ride the chain the same way;
+            # a commit that sets "deletes" explicitly (even []) retires them
+            if (
+                head is not None
+                and (head.summary or {}).get("deletes")
+                and "deletes" not in (summary or {})
+            ):
+                summary = dict(summary or {}, deletes=head.summary["deletes"])
 
             manifests: list[str] = []
             rewrite_spill: list[DataFile] = []

@@ -724,6 +724,9 @@ class LakeTable:
         scalars.  On Hive-partitioned tables add/widen/rename work for DATA
         columns; PARTITION columns are immutable (their names/values ARE the
         directory layout and the manifest pruning key)."""
+        # pending lazy-delete specs reference CURRENT column names/types;
+        # fold them into files before the schema moves under them
+        self._materialize_if_pending(run_ts)
         blocked = (set(rename or {}) | set(widen or {})) & set(self.partition_cols)
         if blocked:
             raise NotImplementedError(
@@ -1050,6 +1053,14 @@ class LakeTable:
                 [c for c in read_want if c not in pcols]
                 if read_want is not None else None
             )
+            if data_cols is not None and not data_cols and not flat:
+                # partition-column-ONLY projection: Hive files carry no
+                # physical column to read, and a zero-column read has zero
+                # rows — read one physical column as a row-count carrier
+                # (dropped by the final select)
+                phys = _footer_names(self.abs(fs[0].path))
+                if phys:
+                    data_cols = [phys[0]]
             # flat files (no Hive layout — e.g. adopted via add_files) still
             # carry the partition columns as DATA columns, so they must see
             # the FULL predicate; Hive-layout files lack those columns and get
@@ -1089,6 +1100,78 @@ class LakeTable:
                 )
         return ds
 
+    # ---------------------------------------------------- merge-on-read deletes
+
+    def _pending_deletes(self, snapshot_id: int | None = None) -> list[dict]:
+        """Unapplied merge-on-read delete specs as of a snapshot (see
+        :meth:`delete_where` mode="lazy").  Each spec is
+        ``{"predicate": [[col, op, val], ...], "files": [paths]}``; the file
+        lists are intersected with the snapshot's live files (paths dropped
+        by later metadata-only deletes vanish from the spec)."""
+        snap = (self.store.head() if snapshot_id is None
+                else self.store.snapshot(snapshot_id))
+        if snap is None:
+            return []
+        specs = (snap.summary or {}).get("deletes") or []
+        if not specs:
+            return []
+        live = {f.path for f in self.files(snapshot_id)}
+        out = []
+        for s in specs:
+            fs = [p for p in s["files"] if p in live]
+            if fs:
+                out.append({"predicate": s["predicate"], "files": fs})
+        return out
+
+    def _read_files_with_deletes(
+        self,
+        files: list[DataFile],
+        specs: list[dict],
+        columns: list[str] | None,
+        predicate: Predicate | None,
+        snapshot_id: int | None,
+        **read_kwargs,
+    ) -> "ray.data.Dataset":
+        """Delete-aware read: files are grouped by WHICH pending delete specs
+        cover them (usually one or two groups), each group reads through the
+        normal path and gets its specs' inverted masks applied batch-side —
+        rows matching a pending DELETE never leave the read stage.  Spec
+        predicate columns missing from the caller's projection are read,
+        masked on, and re-projected away."""
+        spec_sets = [set(s["files"]) for s in specs]
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            kk = tuple(i for i, ss in enumerate(spec_sets) if f.path in ss)
+            groups.setdefault(kk, []).append(f)
+        evo = self._evolution(snapshot_id)
+        parts = []
+        for kk, fs in sorted(groups.items()):
+            read_cols = columns
+            if kk and columns is not None:
+                del_cols = sorted({
+                    c for i in kk for (c, _o, _v) in specs[i]["predicate"]})
+                extra = [c for c in del_cols if c not in columns]
+                if extra:
+                    read_cols = list(columns) + extra
+            d = self._read_files(
+                fs, columns=read_cols, predicate=predicate, evolution=evo,
+                snapshot_id=snapshot_id, **read_kwargs,
+            )
+            for i in kk:
+                d = d.map_batches(
+                    _apply_inverted_predicate_batch,
+                    fn_kwargs={"predicate": [tuple(t) for t
+                                             in specs[i]["predicate"]]},
+                    batch_format="pyarrow",
+                )
+            if kk and read_cols is not columns and columns is not None:
+                d = d.map_batches(
+                    lambda t, _w=tuple(columns): t.select(list(_w)),
+                    batch_format="pyarrow",
+                )
+            parts.append(d)
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
     def scan(
         self,
         snapshot_id: int | None = None,
@@ -1097,7 +1180,8 @@ class LakeTable:
         **read_kwargs,
     ) -> "ray.data.Dataset":
         """Snapshot-consistent scan: manifest prune (partition values + stats)
-        -> pyarrow pushdown -> Dataset."""
+        -> pyarrow pushdown -> Dataset.  Pending merge-on-read delete specs
+        (if any) mask their rows batch-side — logical content everywhere."""
         files = prune_files(self.files(snapshot_id), predicate)
         if not files:
             schema = self.schema(snapshot_id) or pa.schema([])
@@ -1113,6 +1197,11 @@ class LakeTable:
                     ]
                 )
             return ray.data.from_arrow(schema.empty_table())
+        specs = self._pending_deletes(snapshot_id)
+        if specs:
+            return self._read_files_with_deletes(
+                files, specs, columns, predicate, snapshot_id, **read_kwargs
+            )
         return self._read_files(
             files, columns=columns, predicate=predicate,
             evolution=self._evolution(snapshot_id), snapshot_id=snapshot_id,
@@ -1128,12 +1217,16 @@ class LakeTable:
         if not files:
             return (self.schema() or pa.schema([])).empty_table()
         evo = self._evolution(snap_id)
-        if any(f.partition for f in files) or evo is not None:
+        specs = self._pending_deletes(snap_id)
+        if any(f.partition for f in files) or evo is not None or specs:
+            src = (
+                self._read_files_with_deletes(files, specs, cols, pred, snap_id)
+                if specs else
+                self._read_files(files, columns=cols, predicate=pred,
+                                 evolution=evo, snapshot_id=snap_id)
+            )
             batches = list(
-                self._read_files(
-                    files, columns=cols, predicate=pred, evolution=evo,
-                    snapshot_id=snap_id,
-                ).iter_batches(batch_format="pyarrow", batch_size=None)
+                src.iter_batches(batch_format="pyarrow", batch_size=None)
             )
             if not batches:  # every row filtered out
                 sch = self.schema(snap_id) or pa.schema([])
@@ -1160,6 +1253,7 @@ class LakeTable:
         (no shuffle — SURVEY.md §7.4), resumable per-bin via the ledger.
         ``predicate`` scopes the rewrite to matching files (per-partition
         compaction at large scale)."""
+        self._materialize_if_pending(run_ts)
         files = prune_files(self.files(), predicate)
         evo = self._evolution()
         reconcile = None
@@ -1343,6 +1437,7 @@ class LakeTable:
         scale clustering runs per partition/key-range, never as one global
         table sort.
         """
+        self._materialize_if_pending(run_ts)
         files = prune_files(self.files(), predicate)
         if not files:
             return {"files_in": 0, "files_out": 0}
@@ -1728,6 +1823,7 @@ class LakeTable:
         predicate: Predicate,
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
+        mode: str = "copy-on-write",
     ) -> dict[str, Any]:
         """DELETE FROM t WHERE <conjunctive predicate> — copy-on-write with
         two pruning tiers:
@@ -1737,15 +1833,49 @@ class LakeTable:
            that makes partition-scoped deletes O(manifest) at 100 TB;
         2. files that may partially match rewrite through an inverted
            filter; everything else is untouched.
-        """
+
+        ``mode="lazy"`` is MERGE-ON-READ (Iceberg-v2 delete semantics): the
+        fully-covered files still drop metadata-only, but partially-matching
+        files are NOT rewritten — the predicate is recorded as a pending
+        delete spec on the snapshot chain and every scan masks those rows
+        batch-side.  The whole DELETE is O(manifest) regardless of how many
+        rows match; :meth:`apply_pending_deletes` (or any data-rewriting op,
+        which auto-materializes first) later folds the masks into files.
+        At 100 TB this turns scattered-row deletes from a table rewrite
+        into a metadata commit + pay-as-you-scan masks."""
         if not predicate:
             raise ValueError("delete_where requires a predicate")
+        if mode == "copy-on-write":
+            self._materialize_if_pending(run_ts)
         files = self.files()
         candidates = prune_files(files, predicate)
         full = [f for f in candidates if predicate_covers_file(f, predicate)]
         partial = [f for f in candidates if not predicate_covers_file(f, predicate)]
         if not candidates:
             return {"rows_deleted": 0, "files_dropped": 0, "files_rewritten": 0}
+        if mode == "lazy":
+            spec = {
+                "predicate": [list(t) for t in predicate],
+                "files": [f.path for f in partial],
+            }
+            pending = self._pending_deletes()
+            if partial:
+                pending = pending + [spec]
+            self.store.commit(
+                [], [f.path for f in full], "delete-lazy", run_ts,
+                summary={
+                    "deletes": pending,
+                    "files_dropped_metadata_only": len(full),
+                    "files_masked": len(partial),
+                },
+            )
+            return {
+                "rows_deleted_metadata_only": sum(f.rows for f in full),
+                "files_dropped": len(full),
+                "files_masked": len(partial),
+                "files_rewritten": 0,
+                "pending_specs": len(pending),
+            }
         job_id = job_id or f"delete-where-{uuid.uuid4().hex[:8]}"
         ledger = Ledger(self.root, job_id, op="delete-where", run_ts=run_ts)
         added: list[DataFile] = []
@@ -1777,6 +1907,69 @@ class LakeTable:
         return {"rows_deleted": rows_deleted, "files_dropped": len(full),
                 "files_rewritten": len(partial), "files_out": len(added)}
 
+    def apply_pending_deletes(
+        self, run_ts: str = "1970-01-01T00:00:00", job_id: str | None = None
+    ) -> dict[str, Any]:
+        """Materialize every pending merge-on-read delete spec: files are
+        grouped by WHICH specs cover them, each group rewrites once through
+        the composed inverted masks, and the committing snapshot retires the
+        specs (explicit ``deletes: []``).  The delete-compaction half of the
+        lazy-DELETE contract — scans before this see identical logical
+        content via batch-side masks."""
+        specs = self._pending_deletes()
+        if not specs:
+            return {"specs_applied": 0, "files_rewritten": 0}
+        live = {f.path: f for f in self.files()}
+        spec_sets = [set(s["files"]) for s in specs]
+        groups: dict[tuple, list[DataFile]] = {}
+        for p, f in live.items():
+            kk = tuple(i for i, ss in enumerate(spec_sets) if p in ss)
+            if kk:
+                groups.setdefault(kk, []).append(f)
+        job_id = job_id or f"apply-deletes-{uuid.uuid4().hex[:8]}"
+        ledger = Ledger(self.root, job_id, op="apply-deletes", run_ts=run_ts)
+        added_all: list[DataFile] = []
+        removed_all: list[str] = []
+        for kk, fs in sorted(groups.items()):
+            ds = self._read_files(fs)
+            for i in kk:
+                ds = ds.map_batches(
+                    _apply_inverted_predicate_batch,
+                    fn_kwargs={"predicate": [tuple(t) for t
+                                             in specs[i]["predicate"]]},
+                    batch_format="pyarrow",
+                )
+            added = self._write_dataset(
+                ds, min_rows_per_file=self._coalesce_rows_target(fs))
+            added_all.extend(added)
+            removed_all.extend(f.path for f in fs)
+        rows_deleted = (sum(live[p].rows for p in removed_all)
+                        - sum(f.rows for f in added_all))
+        ledger.mark_completed("apply-deletes", removed_all,
+                              [f.path for f in added_all],
+                              {"rows_deleted": rows_deleted})
+        self.store.commit(
+            added_all, removed_all, "apply-deletes", run_ts,
+            schema_json=self._commit_file_schema(added_all) or (
+                _schema_to_json(self.schema()) if self.schema() else None
+            ),
+            summary={"deletes": [], "rows_deleted": rows_deleted,
+                     "specs_applied": len(specs)},
+        )
+        ledger.finish()
+        return {"specs_applied": len(specs),
+                "files_rewritten": len(removed_all),
+                "rows_deleted": rows_deleted,
+                "files_out": len(added_all)}
+
+    def _materialize_if_pending(self, run_ts: str) -> None:
+        """Data-rewriting ops call this first: rewriting a file that a
+        pending delete spec covers would RESURRECT its masked rows (the new
+        path is not in the spec's file list), so pending specs must fold
+        into files before any rewrite.  No-op when none are pending."""
+        if self._pending_deletes():
+            self.apply_pending_deletes(run_ts=run_ts)
+
     def update_where(
         self,
         predicate: Predicate,
@@ -1800,6 +1993,7 @@ class LakeTable:
                    if sch is None or sch.get_field_index(c) < 0]
         if missing:
             raise KeyError(f"SET column(s) not in schema: {sorted(missing)}")
+        self._materialize_if_pending(run_ts)
         affected = prune_files(self.files(), predicate)
         if not affected:
             return {"rows_updated": 0, "files_rewritten": 0}
@@ -1935,6 +2129,7 @@ class LakeTable:
         ``strategy``: "auto" (count-based), "broadcast", or "partitioned".
         """
         key = tuple(key)
+        self._materialize_if_pending(run_ts)
         # cleared on EVERY merge entry (incl. partitioned/empty paths) so a
         # stale broadcast profile never misattributes; broadcast plan fills it
         phases: dict[str, float] = {}
@@ -2121,6 +2316,7 @@ class LakeTable:
         only on multi-node clusters where the shuffle costs network;
         True/False force)."""
         key = tuple(key)
+        self._materialize_if_pending(run_ts)
         n_updates = updates.count()
         if n_updates == 0:
             return {"updates": 0, "affected_files": 0}
@@ -2309,6 +2505,7 @@ class LakeTable:
         ("auto" = only on multi-node clusters, where the shuffle is network;
         True/False force)."""
         key = tuple(key)
+        self._materialize_if_pending(run_ts)
         if isinstance(removal_keys, ray.data.Dataset):
             from aws_medallion_datalake_ray.functions.dedup import exact_dedup
 
