@@ -1854,21 +1854,41 @@ class LakeTable:
         if not candidates:
             return {"rows_deleted": 0, "files_dropped": 0, "files_rewritten": 0}
         if mode == "lazy":
-            spec = {
-                "predicate": [list(t) for t in predicate],
-                "files": [f.path for f in partial],
-            }
-            pending = self._pending_deletes()
-            if partial:
-                pending = pending + [spec]
-            self.store.commit(
-                [], [f.path for f in full], "delete-lazy", run_ts,
-                summary={
-                    "deletes": pending,
-                    "files_dropped_metadata_only": len(full),
-                    "files_masked": len(partial),
-                },
-            )
+            from aws_medallion_datalake_ray.state.manifest import CommitConflict
+
+            # the "deletes" list is a read-modify-write of snapshot summary
+            # state: committing blind would let two racing lazy deletes drop
+            # each other's spec (and RESURRECT rows) — serialize through the
+            # optimistic parent check and recompute on conflict
+            for _ in range(16):
+                head = self.store.head()
+                candidates = prune_files(self.files(), predicate)
+                full = [f for f in candidates
+                        if predicate_covers_file(f, predicate)]
+                partial = [f for f in candidates
+                           if not predicate_covers_file(f, predicate)]
+                spec = {
+                    "predicate": [list(t) for t in predicate],
+                    "files": [f.path for f in partial],
+                }
+                pending = self._pending_deletes()
+                if partial:
+                    pending = pending + [spec]
+                try:
+                    self.store.commit(
+                        [], [f.path for f in full], "delete-lazy", run_ts,
+                        expected_parent=head.snapshot_id if head else None,
+                        summary={
+                            "deletes": pending,
+                            "files_dropped_metadata_only": len(full),
+                            "files_masked": len(partial),
+                        },
+                    )
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                raise CommitConflict("delete-lazy: too many concurrent commits")
             return {
                 "rows_deleted_metadata_only": sum(f.rows for f in full),
                 "files_dropped": len(full),
@@ -1919,6 +1939,7 @@ class LakeTable:
         specs = self._pending_deletes()
         if not specs:
             return {"specs_applied": 0, "files_rewritten": 0}
+        head = self.store.head()
         live = {f.path: f for f in self.files()}
         spec_sets = [set(s["files"]) for s in specs]
         groups: dict[tuple, list[DataFile]] = {}
@@ -1948,8 +1969,13 @@ class LakeTable:
         ledger.mark_completed("apply-deletes", removed_all,
                               [f.path for f in added_all],
                               {"rows_deleted": rows_deleted})
+        # retiring specs with an explicit deletes=[] must not wipe a spec a
+        # CONCURRENT lazy delete added after ours were read: the optimistic
+        # parent check turns that race into a CommitConflict (outputs are
+        # unreferenced and GC as orphans; caller retries the whole op)
         self.store.commit(
             added_all, removed_all, "apply-deletes", run_ts,
+            expected_parent=head.snapshot_id if head else None,
             schema_json=self._commit_file_schema(added_all) or (
                 _schema_to_json(self.schema()) if self.schema() else None
             ),

@@ -115,6 +115,36 @@ def test_merge_does_not_resurrect_lazy_deleted_rows(t):
     assert t.scan(predicate=[("lang", "==", "go")]).count() == 0
 
 
+def test_concurrent_lazy_deletes_keep_both_specs(tmp_path):
+    """The pending-spec list is read-modify-write summary state: a lazy
+    delete racing another writer's lazy delete must RETRY (optimistic
+    parent check), not silently wipe the other spec and resurrect its
+    rows."""
+    t = LakeTable.create(str(tmp_path / "c"))
+    src = _mk()
+    for i in range(0, len(src), 100):
+        t.append(src.slice(i, 100), run_ts=TS)
+    t2 = LakeTable(t.root)  # competing writer on the same table
+    real_commit = t.store.commit
+    state = {"injected": False}
+
+    def racing_commit(*a, **kw):
+        if not state["injected"]:
+            state["injected"] = True  # lands BETWEEN t's spec read + commit
+            t2.delete_where([("repo", "==", "org/r5")], run_ts=TS, mode="lazy")
+        return real_commit(*a, **kw)
+
+    t.store.commit = racing_commit
+    try:
+        t.delete_where([("lang", "==", "go")], run_ts=TS, mode="lazy")
+    finally:
+        t.store.commit = real_commit
+    specs = t._pending_deletes()
+    assert len(specs) == 2, specs
+    assert t.scan(predicate=[("lang", "==", "go")]).count() == 0
+    assert t.scan(predicate=[("repo", "==", "org/r5")]).count() == 0
+
+
 def test_partition_column_only_projection(tmp_path):
     """Regression (found by q58): scanning ONLY partition columns on a Hive
     table must return every row with the manifest values attached — a
