@@ -167,3 +167,76 @@ def hot_keys(ds, col: str, k: int = 64, min_share: float = 0.0) -> list[tuple]:
     total = n_rows or 1
     out = [(v, c) for v, c in summary.items() if c / total >= min_share]
     return sorted(out, key=lambda vc: (-vc[1], str(vc[0])))
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def profile_aggregate(cols: tuple[str, ...], top_k: int = 16):
+    """One-pass ANALYZE: per-column (rows, nulls, HLL registers, Misra-Gries
+    top values, min, max) as a single mergeable Dataset aggregate — the
+    reference's crawler "catalog statistics" (SURVEY S8 / terraform
+    ``main.tf:17-45``) generalized to value-level column profiles.  State is
+    O(columns x (4 KiB + k)) regardless of table size: safe to tree-combine
+    across 10^6 blocks at 100 TB."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFnV2
+
+    from aws_medallion_datalake_ray.functions.hashing import hash_col
+
+    def _zero():
+        return {c: (0, 0, hll_zero(), {}, None, None) for c in cols}
+
+    class Profile(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name="profile", zero_factory=_zero,
+                             on=None, ignore_nulls=True)
+
+        def aggregate_block(self, block):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            st = {}
+            for c in cols:
+                col = tbl[c].combine_chunks()
+                n, nulls = len(col), col.null_count
+                v = col.drop_null()
+                regs, mg, mn, mx = hll_zero(), {}, None, None
+                if len(v):
+                    regs = hll_update(regs, hash_col(v))
+                    vc = v.value_counts()
+                    mg = mg_from_counts(vc.field("values").to_pylist(),
+                                        vc.field("counts").to_pylist(), top_k)
+                    mm = pc.min_max(v)
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                st[c] = (n, nulls, regs, mg, mn, mx)
+            return st
+
+        def combine(self, a, b):
+            out = {}
+            for c in cols:
+                an, anl, ar, am, amn, amx = a[c]
+                bn, bnl, br, bm, bmn, bmx = b[c]
+                mn = amn if bmn is None else bmn if amn is None else min(amn, bmn)
+                mx = amx if bmx is None else bmx if amx is None else max(amx, bmx)
+                out[c] = (an + bn, anl + bnl, hll_merge(ar, br),
+                          mg_merge(am, bm, top_k), mn, mx)
+            return out
+
+    return Profile()
+
+
+def profile_dataset(ds, cols: tuple[str, ...], top_k: int = 16) -> dict:
+    """Column profiles for a Dataset in ONE streaming pass: ``{col: {rows,
+    nulls, null_frac, ndv (~1.6% HLL), top (lower-bound counts), min,
+    max}}``."""
+    state = ds.aggregate(profile_aggregate(cols, top_k))["profile"]
+    out = {}
+    for c, (n, nulls, regs, mg, mn, mx) in state.items():
+        top = sorted(mg.items(), key=lambda vc: (-vc[1], str(vc[0])))[:5]
+        out[c] = {
+            "rows": int(n), "nulls": int(nulls),
+            "null_frac": round(nulls / n, 6) if n else 0.0,
+            "ndv": int(hll_estimate(regs)),
+            "top": [(v, int(cnt)) for v, cnt in top],
+            "min": mn, "max": mx,
+        }
+    return out

@@ -356,6 +356,34 @@ def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def demo_table_profile(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE TABLE in one streaming pass: per-column rows / nulls / HLL
+    NDV / Misra-Gries top values / min / max over the documents table —
+    O(columns x 4 KiB) mergeable state at any scale (the reference crawler's
+    catalog statistics, SURVEY S8, generalized to value profiles).  Sanity
+    gates: exact row count, exact min/max, NDV within 3%."""
+    from aws_medallion_datalake_ray.functions.sketches import profile_dataset
+
+    cols = ("doc_id", "lang", "source", "n_chars")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+    prof = profile_dataset(ds, cols)
+    n = ds.count()
+    exact_langs = len(ds.unique("lang"))
+    assert prof["doc_id"]["rows"] == n
+    assert prof["doc_id"]["min"] == 0 and prof["doc_id"]["max"] == n - 1
+    assert abs(prof["lang"]["ndv"] - exact_langs) / exact_langs < 0.03
+    rows = []
+    for c in cols:
+        p = prof[c]
+        rows.append({
+            "column": c, "rows": p["rows"], "nulls": p["nulls"],
+            "null_frac": p["null_frac"], "ndv_approx": p["ndv"],
+            "min": str(p["min"]), "max": str(p["max"]),
+            "top_value": str(p["top"][0][0]) if p["top"] else "",
+        })
+    return pd.DataFrame(rows)
+
+
 def demo_corpus_curation(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM corpus-curation funnel in ONE composed pipeline:
     lang-ID + quality scoring (Arrow RE2 stage) -> quality filter -> exact
@@ -781,6 +809,7 @@ DEMO_QUERIES = {
     "t07_hll_distinct": demo_hll_distinct,
     "t08_hot_keys": demo_hot_keys,
     "t09_corpus_curation": demo_corpus_curation,
+    "t10_table_profile": demo_table_profile,
     "t02_simhash": demo_simhash,
     "t03_text_analysis": demo_text_analysis,
     "t04_fingerprints": demo_fingerprints,

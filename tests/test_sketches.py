@@ -87,3 +87,37 @@ def test_approx_distinct_dataset(ray_session):
     ).repartition(8)
     est = approx_distinct(ds, ("k",))
     assert abs(est - 7000) / 7000 < 0.03
+
+
+def test_profile_dataset_one_pass(ray_session):
+    """One-pass ANALYZE: exact rows/nulls/min/max, HLL ndv within 5%,
+    Misra-Gries top-1 exact for a skewed column, across multiple blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions.sketches import profile_dataset
+
+    rng = np.random.default_rng(4)
+    n = 40_000
+    ids = np.arange(n)
+    cat = np.where(rng.random(n) < 0.55, "hot",
+                   rng.integers(0, 500, n).astype(str))
+    val = rng.integers(-100, 100, n).astype(float)
+    val[::7] = np.nan  # nulls via NaN -> arrow null after from_pandas? keep explicit
+    t = pa.table({
+        "id": pa.array(ids),
+        "cat": pa.array(cat.tolist()),
+        "val": pa.array([None if i % 7 == 0 else float(v)
+                         for i, v in enumerate(val)], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    prof = profile_dataset(ds, ("id", "cat", "val"))
+    assert prof["id"]["rows"] == n and prof["id"]["nulls"] == 0
+    assert prof["id"]["min"] == 0 and prof["id"]["max"] == n - 1
+    assert abs(prof["id"]["ndv"] - n) / n < 0.05
+    assert prof["cat"]["top"][0][0] == "hot"  # MG guarantees the majority value
+    assert prof["val"]["nulls"] == len([i for i in range(n) if i % 7 == 0])
+    assert prof["val"]["null_frac"] > 0.14
+    exact_cat = len(set(cat.tolist()))
+    assert abs(prof["cat"]["ndv"] - exact_cat) / exact_cat < 0.05
