@@ -2281,6 +2281,47 @@ def q58_mor_delete(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q59_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS, oracle-checked end-to-end: the q27 LSH pair
+    pipeline feeds distributed connected components (alternating large-star /
+    small-star contraction, ``functions/graph.py``), labeling every doc in a
+    dup pair with its cluster's minimum doc_id.  This is the step the
+    reference's per-key ``dropDuplicates`` (silver_digit_clean.py:96) cannot
+    express: A~B and B~C must cluster A,B,C even though A~C was never
+    scored.  ``mode="distributed"`` is forced so the full iterative Ray path
+    (not the small-graph union-find shortcut) sits under the value-hash
+    gate; the DuckDB oracle recomputes reachability with a recursive CTE
+    over the exhaustive-Jaccard pair list."""
+    from aws_medallion_datalake_ray.functions.dedup import near_dup_pairs
+    from aws_medallion_datalake_ray.functions.graph import connected_components
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.filter(pc.less(docs["doc_id"], 60))
+    extra = docs.filter(pc.less(docs["doc_id"], 10)).to_pandas()
+    extra["doc_id"] = extra["doc_id"] + 1000
+    extra["text"] = extra["text"] + " extra token"
+    # chain-planting: 2000-block docs are copies of the 1000-block copies,
+    # so transitivity (doc ~ doc+1000 ~ doc+2000) is actually exercised
+    extra2 = extra.copy()
+    extra2["doc_id"] = extra2["doc_id"] + 1000
+    extra2["text"] = extra2["text"] + " tail"
+    corpus = pa.concat_tables([
+        docs,
+        pa.Table.from_pandas(extra, preserve_index=False),
+        pa.Table.from_pandas(extra2, preserve_index=False),
+    ])
+    pairs = near_dup_pairs(
+        ray.data.from_arrow(corpus), text_col="text", id_col="doc_id",
+        num_perm=64, bands=32, shingle_k=5, threshold=0.5,
+    )
+    comp = connected_components(pairs, "id_a", "id_b", mode="distributed")
+    out = comp.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    return out.sort_values("node").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2887,6 +2928,55 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    "q59_dup_clusters": """
+        -- ground truth for near-dup CLUSTERING: exhaustive word-5-shingle
+        -- Jaccard pairs (as in q27, plus a second planted generation so
+        -- chains exist), then min-reachable-id per node via recursive CTE
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 60
+            UNION ALL
+            SELECT doc_id + 1000, text || ' extra token'
+            FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id + 2000, text || ' extra token tail'
+            FROM documents WHERE doc_id < 10
+        ),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' ||
+                   ts[CAST(i AS INT) + 2] || ' ' || ts[CAST(i AS INT) + 3] || ' ' ||
+                   ts[CAST(i AS INT) + 4] AS g
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM toks)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, comp) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+            WHERE r.comp < e.b
+        )
+        SELECT node, min(comp) AS component
+        FROM reach GROUP BY node ORDER BY node
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -2965,4 +3055,5 @@ SQL_QUERIES = {
     "q56_interpolated_quantiles": q56_interpolated_quantiles,
     "q57_bloom_point_lookup": q57_bloom_point_lookup,
     "q58_mor_delete": q58_mor_delete,
+    "q59_dup_clusters": q59_dup_clusters,
 }
