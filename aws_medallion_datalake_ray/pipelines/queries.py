@@ -2322,6 +2322,24 @@ def q59_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q60_scd2_user_type(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension Type 2 build under the value-hash gate:
+    each user's event_type change log becomes versioned dimension rows with
+    half-open [effective_from, effective_to) validity, no-op repeats
+    collapsed, the current version closed at the 2099-12-31 sentinel
+    (``functions/windows.scd2_build`` — hash shuffle on the key, group =
+    one entity's history).  The DuckDB oracle recomputes with LAG (change
+    detection) + LEAD (version close)."""
+    from aws_medallion_datalake_ray.functions.windows import scd2_build
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id"])
+    ev = ev.filter(expr="user_id < 40")
+    out = scd2_build(ev, "user_id", "ts", ["event_type"],
+                     tiebreak_cols=["event_id"]).to_pandas()
+    return out.sort_values(["user_id", "effective_from"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -2977,6 +2995,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT node, min(comp) AS component
         FROM reach GROUP BY node ORDER BY node
     """,
+    "q60_scd2_user_type": """
+        -- SCD2 from the change log: LAG drops no-op rows, LEAD closes each
+        -- version; current version closed at the high-date sentinel
+        WITH log AS (
+            SELECT user_id, ts, event_type, event_id,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events WHERE user_id < 40
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts AS effective_from
+            FROM log WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, effective_from,
+               coalesce(
+                   lead(effective_from) OVER
+                       (PARTITION BY user_id ORDER BY effective_from),
+                   TIMESTAMP '2099-12-31 00:00:00') AS effective_to
+        FROM changes
+        ORDER BY user_id, effective_from
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -3056,4 +3095,5 @@ SQL_QUERIES = {
     "q57_bloom_point_lookup": q57_bloom_point_lookup,
     "q58_mor_delete": q58_mor_delete,
     "q59_dup_clusters": q59_dup_clusters,
+    "q60_scd2_user_type": q60_scd2_user_type,
 }

@@ -172,3 +172,38 @@ def test_stamp_run_ts_deterministic():
     o1 = cl.stamp_run_ts(t, "data_processamento", rt)
     o2 = cl.stamp_run_ts(t, "data_processamento", rt)
     assert o1.equals(o2)
+
+
+def test_scd2_build_versions():
+    import pandas as pd
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions.windows import scd2_build
+
+    log = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05",
+            "2024-03-01",
+        ]),
+        "attr": ["a", "a", "b", "a", "x"],  # 1: a (no-op repeat), b, a again
+        "eid": [1, 2, 3, 4, 5],
+    })
+    out = (
+        scd2_build(ray.data.from_pandas(log), "k", "ts", ["attr"],
+                   tiebreak_cols=["eid"])
+        .to_pandas().sort_values(["k", "effective_from"]).reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 1, 1, 2]
+    assert list(out["attr"]) == ["a", "b", "a", "x"]
+    # no-op repeat collapsed: first version spans 01-01 -> 01-03
+    assert out.loc[0, "effective_from"] == pd.Timestamp("2024-01-01")
+    assert out.loc[0, "effective_to"] == pd.Timestamp("2024-01-03")
+    assert out.loc[1, "effective_to"] == pd.Timestamp("2024-01-05")
+    # current versions closed at the sentinel
+    assert out.loc[2, "effective_to"] == pd.Timestamp("2099-12-31")
+    assert out.loc[3, "effective_to"] == pd.Timestamp("2099-12-31")
+    # half-open coverage: version intervals per key tile without overlap
+    g = out[out["k"] == 1]
+    assert (g["effective_from"].iloc[1:].to_numpy()
+            == g["effective_to"].iloc[:-1].to_numpy()).all()
