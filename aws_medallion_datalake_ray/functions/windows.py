@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def tumbling_assign(batch: pa.Table, ts_col: str, unit: str = "hour") -> pa.Table:
@@ -177,3 +177,68 @@ def scd2_build(
             },
         )
     )
+
+
+def fill_time_gaps(
+    ds: Dataset,
+    group_cols: list[str],
+    time_col: str,
+    value_fills: dict[str, float | int],
+    freq: str = "MS",
+) -> Dataset:
+    """Densify a grouped time series: one row per (group, period) for EVERY
+    period between the observed min and max, missing cells filled with the
+    given constants (the date-spine pattern — reporting over sparse
+    aggregates needs explicit zeros, not absent rows).
+
+    Distribution: the spine is bounded by the TIME SPAN (months over three
+    decades ≈ 360 entries), never the data, so it ships to workers as a
+    plain kwarg; distinct groups stay a hash-partitioned Dataset, the grid
+    is built batch-side (each group row × spine), and observed values are
+    attached with a co-partitioned left-outer ``Dataset.join`` on
+    (group, period).  Nothing group- or data-proportional touches the
+    driver.
+    """
+    import pyarrow.compute as _pc
+
+    from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+    from aws_medallion_datalake_ray.functions.joins import _ncpu
+
+    # the operator consumes its (already aggregated, series-sized) input
+    # three times — bounds, distinct groups, join probe: pin it once
+    ds = ds.materialize()
+    bounds = ds.aggregate(Min(time_col), Max(time_col))
+    lo, hi = bounds[f"min({time_col})"], bounds[f"max({time_col})"]
+    spine = pd.date_range(pd.Timestamp(lo), pd.Timestamp(hi), freq=freq)
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        time_type = base.field(time_col).type
+    else:  # pandas-block schema: numpy dtype → arrow type
+        t = sch.types[sch.names.index(time_col)]
+        time_type = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(np.dtype(t))
+    spine_arr = pa.array(spine.to_numpy()).cast(time_type)
+
+    groups = exact_dedup(ds.select_columns(group_cols), tuple(group_cols))
+
+    def expand(t: pa.Table, spine_a=spine_arr) -> pa.Table:
+        n, m = t.num_rows, len(spine_a)
+        idx = pa.array(np.repeat(np.arange(n), m))
+        out = t.take(idx)
+        tiled = pa.chunked_array([spine_a] * n) if n else spine_a.slice(0, 0)
+        return out.append_column(time_col, tiled)
+
+    grid = groups.map_batches(expand, batch_format="pyarrow")
+    joined = grid.join(
+        ds, join_type="left_outer",
+        num_partitions=max(2, _ncpu() // 2),
+        on=tuple(group_cols) + (time_col,),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        for c, fill in value_fills.items():
+            filled = _pc.fill_null(t[c], fill)
+            t = t.set_column(t.column_names.index(c), c, filled)
+        return t
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")

@@ -2340,6 +2340,49 @@ def q60_scd2_user_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "effective_from"]).reset_index(drop=True)
 
 
+def q61_gapfilled_monthly(sf_dir: str) -> pd.DataFrame:
+    """Date-spine gap fill under the value-hash gate: monthly high-value
+    order counts/revenue per segment are SPARSE (187 of 400 cells missing at
+    sf0.001), and ``fill_time_gaps`` densifies them — spine bounded by the
+    time span shipped as a kwarg, distinct groups a hash-partitioned
+    Dataset, observed cells attached by co-partitioned left-outer join,
+    zeros filled batch-side.  Oracle: DuckDB generate_series cross join."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+    from aws_medallion_datalake_ray.functions.windows import fill_time_gaps
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    orders = orders.filter(expr="o_totalprice > 400000.0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return (
+            pa.table({"segment": t["c_mktsegment"],
+                      "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+                      "p_c": cents,
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["segment", "month"])
+            .aggregate([("p_c", "sum"), ("p_n", "sum")])
+            .rename_columns(["segment", "month", "p_c", "p_n"])
+        )
+
+    agg = (
+        attach_lookup(orders, cust, "o_custkey", "c_custkey")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "month"])
+        .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+    )
+    dense = fill_time_gaps(agg, ["segment"], "month", {"c": 0, "n": 0})
+    df = dense.to_pandas()
+    df["revenue"] = (df["c"] / 100.0).round(2)
+    df["n_orders"] = df["n"].astype("int64")
+    return df[["segment", "month", "n_orders", "revenue"]].sort_values(
+        ["segment", "month"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -3016,6 +3059,36 @@ ORACLE_SQL: dict[str, str] = {
         FROM changes
         ORDER BY user_id, effective_from
     """,
+    "q61_gapfilled_monthly": """
+        -- sparse monthly cells densified over the full observed month span
+        -- per segment, zero-filled (the date-spine pattern)
+        WITH hv AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS revenue
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE o.o_totalprice > 400000.0
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(month) AS lo, max(month) AS hi FROM hv),
+        spine AS (
+            SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 MONTH)) AS month
+        ),
+        grid AS (
+            SELECT s.segment, sp.month
+            FROM (SELECT DISTINCT segment FROM hv) s CROSS JOIN spine sp
+        )
+        SELECT g.segment, g.month,
+               coalesce(h.n_orders, 0) AS n_orders,
+               coalesce(h.revenue, 0.0) AS revenue
+        FROM grid g LEFT JOIN hv h
+            ON h.segment = g.segment AND h.month = g.month
+        ORDER BY g.segment, g.month
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -3096,4 +3169,5 @@ SQL_QUERIES = {
     "q58_mor_delete": q58_mor_delete,
     "q59_dup_clusters": q59_dup_clusters,
     "q60_scd2_user_type": q60_scd2_user_type,
+    "q61_gapfilled_monthly": q61_gapfilled_monthly,
 }

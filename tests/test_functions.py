@@ -207,3 +207,27 @@ def test_scd2_build_versions():
     g = out[out["k"] == 1]
     assert (g["effective_from"].iloc[1:].to_numpy()
             == g["effective_to"].iloc[:-1].to_numpy()).all()
+
+
+def test_fill_time_gaps_densifies():
+    import pandas as pd
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions.windows import fill_time_gaps
+
+    sparse = pd.DataFrame({
+        "g": ["a", "a", "b"],
+        "m": pd.to_datetime(["2024-01-01", "2024-04-01", "2024-02-01"]),
+        "v": [10, 40, 7],
+    })
+    out = (
+        fill_time_gaps(ray.data.from_pandas(sparse), ["g"], "m", {"v": 0})
+        .to_pandas().sort_values(["g", "m"]).reset_index(drop=True)
+    )
+    # spine = observed global min..max (Jan..Apr), every group densified
+    assert len(out) == 8
+    a = out[out["g"] == "a"]
+    assert list(a["v"]) == [10, 0, 0, 40]
+    b = out[out["g"] == "b"]
+    assert list(b["v"]) == [0, 7, 0, 0]
+    assert list(a["m"]) == list(pd.date_range("2024-01-01", "2024-04-01", freq="MS"))
