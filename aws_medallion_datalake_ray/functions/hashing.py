@@ -172,3 +172,45 @@ def sha256_col(col) -> np.ndarray:
     for i, v in enumerate(vals):
         out[i] = None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
     return out
+
+
+def md5_residue(keys, modulus: int) -> np.ndarray:
+    """DuckDB-``md5_number_lower``-compatible residue per key: little-endian
+    low half of md5(str(key)), mod ``modulus``.  md5 has no vectorized
+    kernel, but it runs over the short KEY string only (never content) —
+    same trade q41 documents: engine-portable determinism beats a per-batch
+    loop of ~100ns digests."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(k).encode()).digest()[8:16], "little")
+         % modulus for k in keys),
+        np.int64, count=len(keys))
+
+
+def stratified_sample(
+    ds,
+    group_col: str,
+    key_col: str,
+    rates_bp: dict,
+    default_bp: int = 0,
+):
+    """Per-group deterministic sampling: keep a row iff its key's md5
+    residue (basis points, exact integer thresholds — no float drift) falls
+    below its group's rate.  The corpus-balancing step of LLM data curation
+    (downsample over-represented languages/sources to target quotas),
+    reproducible across reruns, re-shards, and engines.
+
+    Embarrassingly parallel: one ``map_batches`` filter, no shuffle; the
+    rate table is a constant kwarg.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def keep(t: pa.Table) -> pa.Table:
+        res = md5_residue(t[key_col].to_pylist(), 10_000)
+        bp = (
+            pd.Series(t[group_col].to_pylist())
+            .map(rates_bp).fillna(default_bp).to_numpy(np.int64)
+        )
+        return t.filter(pa.array(res < bp))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -2383,6 +2383,120 @@ def q61_gapfilled_monthly(sf_dir: str) -> pd.DataFrame:
         ["segment", "month"]).reset_index(drop=True)
 
 
+def q62_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-group quota sampling (corpus balancing: downsample over-
+    represented languages to target rates) via ``stratified_sample`` —
+    md5-residue basis-point thresholds, embarrassingly parallel, no
+    shuffle, engine-portable determinism (DuckDB reproduces the exact
+    keep set)."""
+    from aws_medallion_datalake_ray.functions.hashing import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    rates = {"en": 2000, "de": 5000, "zh": 10000}  # 20% / 50% / all
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"lang": t["lang"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_ch": t["n_chars"]})
+            .group_by("lang")
+            .aggregate([("p_n", "sum"), ("p_ch", "sum")])
+            .rename_columns(["lang", "p_n", "p_ch"])
+        )
+
+    out = (
+        stratified_sample(ds, "lang", "doc_id", rates, default_bp=500)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p_n", alias_name="n_docs"),
+                   Sum("p_ch", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["lang", "n_docs", "sum_chars"]].sort_values(
+        "lang").reset_index(drop=True)
+
+
+def q63_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17-shaped DECORRELATED subquery: revenue from below-average-
+    quantity lineitems of one brand's parts.  The correlated
+    ``l_quantity < 0.2 * (SELECT avg ... WHERE same part)`` decorrelates
+    into (1) broadcast brand-part keyset -> semi-filter the fact table
+    once, materialized for reuse; (2) per-part sum/count partial aggregate
+    (exact: quantities are integral doubles); (3) budgeted
+    ``attach_lookup`` joins each row its part's threshold back; (4) batch
+    filter + cents rollup.  No row of lineitem is read twice from storage
+    and no O(parts) state lands on the driver."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = np.sort(
+        part.filter(pc.equal(part["p_brand"], "Brand#13"))["p_partkey"]
+        .to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(keys)
+
+    def semi(t: pa.Table, ref=keys_ref) -> pa.Table:
+        k = ray.get(ref)
+        return t.filter(pa.array(
+            np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), k)))
+
+    li = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(semi, batch_format="pyarrow")
+        .materialize()  # reused by the stats pass and the threshold pass
+    )
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"l_partkey": t["l_partkey"], "p_q": t["l_quantity"],
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("l_partkey")
+            .aggregate([("p_q", "sum"), ("p_n", "sum")])
+            .rename_columns(["l_partkey", "p_q", "p_n"])
+        )
+
+    stats = (
+        li.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("p_q", alias_name="sq"), Sum("p_n", alias_name="cnt"))
+    )
+
+    def low_partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        th = 0.2 * (t["sq"].to_numpy(zero_copy_only=False)
+                    / t["cnt"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(qty < th))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return (
+            pa.table({"partkey": t["l_partkey"], "p_c": cents,
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("partkey")
+            .aggregate([("p_c", "sum"), ("p_n", "sum")])
+            .rename_columns(["partkey", "p_c", "p_n"])
+        )
+
+    low = (
+        attach_lookup(li, stats, "l_partkey")
+        .map_batches(low_partial, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    st = stats.to_pandas()  # dim-sized: one row per brand part
+    out = low.merge(st, left_on="partkey", right_on="l_partkey")
+    # explicit half-up at 4dp: np.round is half-to-even, DuckDB's round is
+    # half-away — integral quantity sums make .53125-style exact ties real
+    out["avg_qty"] = np.floor(out["sq"] * 10000.0 / out["cnt"] + 0.5) / 10000.0
+    out["low_rev"] = (out["c"] / 100.0).round(2)
+    out["n_rows"] = out["n"].astype("int64")
+    return out[["partkey", "avg_qty", "low_rev", "n_rows"]].sort_values(
+        "partkey").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -3089,6 +3203,41 @@ ORACLE_SQL: dict[str, str] = {
             ON h.segment = g.segment AND h.month = g.month
         ORDER BY g.segment, g.month
     """,
+    "q62_stratified_sample": """
+        -- per-language md5 basis-point quotas: en 20%, de 50%, zh 100%,
+        -- default 5% — the exact keep set the engine computes
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+              CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000
+                        WHEN 'zh' THEN 10000 ELSE 500 END
+        GROUP BY lang ORDER BY lang
+    """,
+    "q63_small_qty_revenue": """
+        -- TPC-H Q17 shape, per-part detail: revenue of lineitems below
+        -- 20% of their part's average quantity (one brand)
+        WITH brand_parts AS (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+        ),
+        li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+        ),
+        stats AS (
+            SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cnt
+            FROM li GROUP BY 1
+        )
+        SELECT li.l_partkey AS partkey,
+               floor(sq * 10000.0 / cnt + 0.5) / 10000.0 AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS low_rev,
+               count(*) AS n_rows
+        FROM li JOIN stats USING (l_partkey)
+        WHERE l_quantity < 0.2 * (sq / cnt)
+        GROUP BY li.l_partkey, sq, cnt
+        ORDER BY partkey
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -3170,4 +3319,6 @@ SQL_QUERIES = {
     "q59_dup_clusters": q59_dup_clusters,
     "q60_scd2_user_type": q60_scd2_user_type,
     "q61_gapfilled_monthly": q61_gapfilled_monthly,
+    "q62_stratified_sample": q62_stratified_sample,
+    "q63_small_qty_revenue": q63_small_qty_revenue,
 }

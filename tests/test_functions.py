@@ -231,3 +231,36 @@ def test_fill_time_gaps_densifies():
     b = out[out["g"] == "b"]
     assert list(b["v"]) == [0, 7, 0, 0]
     assert list(a["m"]) == list(pd.date_range("2024-01-01", "2024-04-01", freq="MS"))
+
+
+def test_stratified_sample_deterministic_quotas():
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions.hashing import (
+        md5_residue,
+        stratified_sample,
+    )
+
+    df = pd.DataFrame({"k": range(2000),
+                       "g": ["a" if i % 2 else "b" for i in range(2000)]})
+    rates = {"a": 2500}  # 25% of a; b falls to default 0
+    out = stratified_sample(ray.data.from_pandas(df), "g", "k", rates)
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert set(got["g"]) == {"a"}
+    # exact keep set: md5 low-half little-endian residue below threshold
+    want = [k for k in range(2000) if k % 2 == 1
+            and int.from_bytes(hashlib.md5(str(k).encode()).digest()[8:16],
+                               "little") % 10000 < 2500]
+    assert list(got["k"]) == want
+    assert 0.15 < len(want) / 1000 < 0.35  # sane rate
+    # rerun identical (no RNG state anywhere)
+    again = stratified_sample(ray.data.from_pandas(df), "g", "k", rates)
+    assert list(again.to_pandas().sort_values("k")["k"]) == want
+    # vector helper agrees with the scalar definition
+    assert md5_residue([7, 8], 10000).tolist() == [
+        int.from_bytes(hashlib.md5(b"7").digest()[8:16], "little") % 10000,
+        int.from_bytes(hashlib.md5(b"8").digest()[8:16], "little") % 10000,
+    ]
