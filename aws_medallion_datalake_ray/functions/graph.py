@@ -51,17 +51,24 @@ _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 def _canon_fingerprint(t: pa.Table) -> pa.Table:
     """Per-batch commutative fingerprint of the canonicalized edge multiset:
     (count, wrap-around sum of mixed lo/hi) — order-independent, so the sum
-    over batches is a stable digest of the edge set."""
-    u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    lo = np.minimum(u, v)
-    hi = np.maximum(u, v)
+    over batches is a stable digest of the edge set.  String ids hash via
+    ``pandas.util.hash_array`` (fixed key — process-stable, like
+    ``functions/hashing.py``)."""
+    ua = t["u"].to_numpy(zero_copy_only=False)
+    va = t["v"].to_numpy(zero_copy_only=False)
+    if ua.dtype.kind in "iu":
+        u, v = ua.astype(np.uint64), va.astype(np.uint64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+    else:
+        lo_o, hi_o = np.minimum(ua, va), np.maximum(ua, va)
+        lo = pd.util.hash_array(lo_o.astype(object)).astype(np.uint64)
+        hi = pd.util.hash_array(hi_o.astype(object)).astype(np.uint64)
     with np.errstate(over="ignore"):
         h = (lo * _MIX_A) ^ ((hi + _MIX_B) * _MIX_A)
         # additive (wraparound) digest only: addition is commutative AND
         # associative, so the cross-batch Sum is invariant to block layout
         s = np.uint64(0) if h.size == 0 else h.sum(dtype=np.uint64)
-    return pa.table({"n": pa.array([len(u)], pa.int64()),
+    return pa.table({"n": pa.array([len(ua)], pa.int64()),
                      "h": pa.array([int(s)], pa.uint64())})
 
 
@@ -86,29 +93,34 @@ def _orient_max_first(t: pa.Table) -> pa.Table:
     return pa.table({"u": np.maximum(u, v), "v": np.minimum(u, v)})
 
 
+def _const_like(template: np.ndarray, value, n: int) -> np.ndarray:
+    dt = template.dtype if template.dtype.kind in "iu" else object
+    return np.full(n, value, dtype=dt)
+
+
 def _large_star_group(g: pd.DataFrame) -> pd.DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
-    u = int(g["u"].iloc[0])
+    u = g["u"].iloc[0]
     nb = np.unique(g["v"].to_numpy())
-    m = min(u, int(nb[0]))
+    m = min(u, nb[0])
     big = nb[nb > u]
-    return pd.DataFrame({"u": big, "v": np.full(len(big), m, dtype=np.int64)})
+    return pd.DataFrame({"u": big, "v": _const_like(nb, m, len(big))})
 
 
 def _small_star_group(g: pd.DataFrame) -> pd.DataFrame:
     """Edges oriented max→min: connect u and its smaller neighbors to the
     minimum of the neighborhood."""
-    u = int(g["u"].iloc[0])
+    u = g["u"].iloc[0]
     nb = np.unique(g["v"].to_numpy())  # all < u after orientation
-    m = int(nb[0])
+    m = nb[0]
     rest = np.concatenate([nb[1:], np.asarray([u], dtype=nb.dtype)])
-    return pd.DataFrame({"u": rest, "v": np.full(len(rest), m, dtype=np.int64)})
+    return pd.DataFrame({"u": rest, "v": _const_like(nb, m, len(rest))})
 
 
 def _local_union_find(u: np.ndarray, v: np.ndarray) -> pa.Table:
-    """Driver-side union-find with path halving over int64 node ids."""
+    """Driver-side union-find with path halving (int64 or string ids)."""
     nodes = np.unique(np.concatenate([u, v]))
-    idx = {int(n): i for i, n in enumerate(nodes)}
+    idx = dict(zip(nodes.tolist(), range(len(nodes))))
     parent = np.arange(len(nodes), dtype=np.int64)
 
     def find(i: int) -> int:
@@ -117,14 +129,14 @@ def _local_union_find(u: np.ndarray, v: np.ndarray) -> pa.Table:
             i = parent[i]
         return i
 
-    for a, b in zip(u, v):
-        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(idx[a]), find(idx[b])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     # components labeled by the MINIMUM member id (nodes is sorted, so the
     # root with the smallest index is the smallest id)
-    comp = np.asarray([nodes[find(i)] for i in range(len(nodes))], dtype=np.int64)
-    return pa.table({"node": nodes.astype(np.int64), "component": comp})
+    comp = nodes[[find(i) for i in range(len(nodes))]]
+    return pa.table({"node": pa.array(nodes), "component": pa.array(comp)})
 
 
 def connected_components(
@@ -140,26 +152,39 @@ def connected_components(
     component's minimum node id.
 
     Parameters: ``edges`` is a ``ray.data.Dataset`` (or pyarrow Table) with
-    integer id columns ``src``/``dst``; ``mode`` is ``"auto"`` (local
-    union-find when the edge count fits ``local_threshold``, distributed
-    star-contraction otherwise), ``"local"`` or ``"distributed"``.
+    id columns ``src``/``dst`` — integer (canonicalized to int64) or string
+    (compared lexicographically; the dedup path's joined LakeTable keys);
+    ``mode`` is ``"auto"`` (local union-find when the edge count fits
+    ``local_threshold``, distributed star-contraction otherwise),
+    ``"local"`` or ``"distributed"``.
 
-    Returns a Dataset with columns ``node`` (int64) and ``component``
-    (int64, = min id reachable from node).  Nodes with no edges do not
-    appear — singleton handling belongs to the caller, which knows the
+    Returns a Dataset with columns ``node`` and ``component`` (= min id
+    reachable from node, in the id type's order).  Nodes with no edges do
+    not appear — singleton handling belongs to the caller, which knows the
     corpus.
     """
     if isinstance(edges, pa.Table):
         edges = ray.data.from_arrow(edges)
 
     def _norm(t: pa.Table) -> pa.Table:
-        u = t[src].cast(pa.int64())
-        v = t[dst].cast(pa.int64())
-        out = pa.table({"u": u, "v": v})
+        id_type = (pa.int64() if pa.types.is_integer(t[src].type)
+                   else pa.string())
+        out = pa.table({"u": t[src].cast(id_type), "v": t[dst].cast(id_type)})
         mask = pa.compute.not_equal(out["u"], out["v"])  # drop self-loops
         return out.filter(mask)
 
     e = edges.select_columns([src, dst]).map_batches(_norm, batch_format="pyarrow")
+
+    def _empty_result() -> "ray.data.Dataset":
+        try:
+            base = edges.schema().base_schema
+            id_type = (pa.int64() if pa.types.is_integer(base.field(src).type)
+                       else pa.string())
+        except AttributeError:
+            id_type = pa.int64()
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], id_type),
+                      "component": pa.array([], id_type)}))
 
     if mode == "auto":
         n_edges = e.count()
@@ -167,12 +192,9 @@ def connected_components(
     if mode == "local":
         parts = [pa.table({"u": b["u"], "v": b["v"]})
                  for b in e.iter_batches(batch_format="pyarrow", batch_size=None)]
-        t = pa.concat_tables(parts) if parts else pa.table(
-            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return ray.data.from_arrow(
-                pa.table({"node": pa.array([], pa.int64()),
-                          "component": pa.array([], pa.int64())}))
+        if not parts or sum(p.num_rows for p in parts) == 0:
+            return _empty_result()
+        t = pa.concat_tables(parts)
         return ray.data.from_arrow(_local_union_find(
             t["u"].to_numpy(zero_copy_only=False),
             t["v"].to_numpy(zero_copy_only=False)))
@@ -181,9 +203,7 @@ def connected_components(
 
     e = e.materialize()
     if e.count() == 0:
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.int64()),
-                      "component": pa.array([], pa.int64())}))
+        return _empty_result()
     prev_fp = None
     for _round in range(max_rounds):
         # large-star: group on each endpoint (both directions)
@@ -210,8 +230,7 @@ def connected_components(
     # converged: e is a set of depth-1 stars (member → root).  Assignment =
     # members as-is plus one (root, root) row per distinct root.
     def _assign(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["u"].cast(pa.int64()),
-                         "component": t["v"].cast(pa.int64())})
+        return pa.table({"node": t["u"], "component": t["v"]})
 
     members = e.map_batches(_assign, batch_format="pyarrow")
 

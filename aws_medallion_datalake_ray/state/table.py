@@ -2785,13 +2785,26 @@ class LakeTable:
         run_ts: str = "1970-01-01T00:00:00",
         job_id: str | None = None,
         broadcast_threshold: int = 2_000_000,
+        policy: str = "pairs",
     ) -> dict[str, Any]:
         """Distributed near-duplicate REMOVAL, end-to-end on workers: MinHash+
         LSH candidates over ``text_col`` -> exact shingle-Jaccard verify ->
-        copy-on-write delete of every row whose text is a verified near-dup of
-        a smaller-keyed row (greedy keep-first; each dup cluster keeps its
-        minimum key).  The reference has no near-dedup at all (SURVEY §2.7);
-        this is the marquee 100-TB training-data op.
+        copy-on-write delete under one of two keep policies:
+
+        - ``policy="pairs"`` (default): drop every row that is a verified
+          near-dup of a smaller-keyed row — keeps every LOCAL minimum (a
+          row smaller than all its verified neighbors), so two docs that
+          are each near-dups of a removed third but not of each other BOTH
+          survive.  Conservative: never removes a doc without a surviving
+          direct witness.
+        - ``policy="cluster"``: transitive closure via distributed
+          connected components (``functions/graph.py``) — each dup CLUSTER
+          keeps exactly its minimum key (the RefinedWeb/SlimPajama-style
+          semantics: A~B and B~C retire B AND C even though A~C was never
+          scored).  More aggressive; one survivor per component.
+
+        The reference has no near-dedup at all (SURVEY §2.7); this is the
+        marquee 100-TB training-data op.
 
         Scale shape: texts never reach the driver — candidates, verification
         and the survivor rewrite all run as Dataset stages, and the removal
@@ -2818,12 +2831,31 @@ class LakeTable:
             threshold=threshold,
             max_bucket=max_bucket,
         )
-        # drop every id that is a verified near-dup of a lexically smaller id
-        # (id_a < id_b by construction): the removal ids stay a DATASET —
-        # delete_keys dedups them and picks the broadcast or partitioned plan
-        rm = pairs.map_batches(
-            lambda t: pa.table({"rid": t["id_b"]}), batch_format="pyarrow"
-        ).materialize()
+        if policy == "cluster":
+            # transitive: components over verified pairs; remove every node
+            # that is not its component's minimum.  The edge set (not the
+            # corpus) is the iteration state; ids stay a Dataset throughout.
+            from aws_medallion_datalake_ray.functions.graph import (
+                connected_components,
+            )
+
+            comp = connected_components(pairs, "id_a", "id_b")
+
+            def _non_min(t: pa.Table) -> pa.Table:
+                keep = pc.not_equal(t["node"], t["component"])
+                return pa.table({"rid": t.filter(keep)["node"]})
+
+            rm = comp.map_batches(_non_min, batch_format="pyarrow").materialize()
+        elif policy == "pairs":
+            # drop every id that is a verified near-dup of a lexically
+            # smaller id (id_a < id_b by construction): the removal ids stay
+            # a DATASET — delete_keys dedups them and picks the broadcast or
+            # partitioned plan
+            rm = pairs.map_batches(
+                lambda t: pa.table({"rid": t["id_b"]}), batch_format="pyarrow"
+            ).materialize()
+        else:
+            raise ValueError(f"unknown dedup_near policy {policy!r}")
         res = self.delete_keys(
             rm, key=key, run_ts=run_ts, job_id=job_id, operation="dedup-near",
             broadcast_threshold=broadcast_threshold,

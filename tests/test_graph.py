@@ -91,3 +91,17 @@ def test_empty_edges():
 def test_self_loops_only():
     out = connected_components(_edges_table([(5, 5), (6, 6)]), mode="local")
     assert out.count() == 0
+
+
+def test_string_ids_both_paths():
+    # lexicographic order: "a" < "b" < "z"; chain a-z, b-z
+    pairs = [("z", "a"), ("b", "z"), ("m", "q")]
+    t = pa.table({"id_a": pa.array([p[0] for p in pairs]),
+                  "id_b": pa.array([p[1] for p in pairs])})
+    want = pd.DataFrame({
+        "node": ["a", "b", "m", "q", "z"],
+        "component": ["a", "a", "m", "m", "a"],
+    })
+    for mode in ("local", "distributed"):
+        got = _as_df(connected_components(t, mode=mode))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

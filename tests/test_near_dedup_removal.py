@@ -314,3 +314,39 @@ def test_batch_jaccard_matches_per_pair_intersect():
         u = a.size + b.size - inter
         assert abs(got[j] - (inter / u if u else 1.0)) < 1e-12
     assert len(_batch_jaccard([], [])) == 0
+
+
+def test_dedup_near_cluster_policy_transitive(tmp_path, ray_session):
+    """A~B and B~C with A!~C: pair policy keeps both local minima; cluster
+    policy keeps exactly the component minimum."""
+    from aws_medallion_datalake_ray.schema import SOURCE_FILES_SCHEMA
+
+    base = " ".join(f"c{j}" for j in range(30))
+    extra = [f"e{j}" for j in range(30)]
+    x = base                                        # key a.py (component min)
+    z = base + " " + " ".join(extra)                # key b.py
+    y = base + " " + " ".join(extra[:12])           # key z.py (chain middle)
+    assert jaccard(x, y) >= 0.5 and jaccard(y, z) >= 0.5 and jaccard(x, z) < 0.5
+
+    df = pd.DataFrame({
+        "repo": ["org/r"] * 3,
+        "path": ["a.py", "b.py", "z.py"],
+        "commit": ["1" * 40, "2" * 40, "3" * 40],
+        "lang": ["py"] * 3,
+        "content": [x, z, y],
+    })
+    tab = pa.Table.from_pandas(df, preserve_index=False).cast(SOURCE_FILES_SCHEMA)
+
+    t_pairs = LakeTable.create(str(tmp_path / "pairs"))
+    t_pairs.append(tab)
+    res = t_pairs.dedup_near(text_col="content", threshold=0.5, bands=32)
+    assert res["near_dup_rows"] == 1  # only the chain middle (largest key)
+    assert sorted(t_pairs.scan(columns=["path"]).to_pandas()["path"]) == [
+        "a.py", "b.py"]
+
+    t_clust = LakeTable.create(str(tmp_path / "clust"))
+    t_clust.append(tab)
+    res = t_clust.dedup_near(text_col="content", threshold=0.5, bands=32,
+                             policy="cluster")
+    assert res["near_dup_rows"] == 2  # one survivor per component
+    assert sorted(t_clust.scan(columns=["path"]).to_pandas()["path"]) == ["a.py"]
