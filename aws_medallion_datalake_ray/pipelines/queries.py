@@ -39,6 +39,14 @@ def _read(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
 
+def _drop_nulls(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Filter rows with nulls in ``cols`` (post-left-join semi filter)."""
+    return ds.map_batches(
+        lambda t: cl.drop_null_keys(t, cols, empty_is_null=False),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- q01
 
 
@@ -2497,6 +2505,466 @@ def q63_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
         "partkey").reset_index(drop=True)
 
 
+def q64_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by ship year.
+    Both dim chains (supplier->nation, customer->nation) collapse into
+    budgeted ``attach_lookup`` sides; the orders->customer hop runs FIRST so
+    only the two nations' orders (a small fraction) join the fact table —
+    the fact side is read once, date-pruned at the parquet scan."""
+    import datetime as dt
+
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    nat_a, nat_b = "NATION_3", "NATION_7"
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.filter(pc.is_in(nation["n_name"],
+                                    pa.array([nat_a, nat_b])))
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    names = dict(zip(nkeys.tolist(),
+                     nation["n_name"].to_pylist()))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pa.array(np.isin(
+        supp["s_nationkey"].to_numpy(zero_copy_only=False), nkeys)))
+    supp_tab = pa.table({
+        "s_suppkey": supp["s_suppkey"],
+        "supp_nation": pa.array([names[int(k)] for k in
+                                 supp["s_nationkey"].to_numpy(zero_copy_only=False)]),
+    })
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pa.array(np.isin(
+        cust["c_nationkey"].to_numpy(zero_copy_only=False), nkeys)))
+    cust_tab = pa.table({
+        "c_custkey": cust["c_custkey"],
+        "cust_nation": pa.array([names[int(k)] for k in
+                                 cust["c_nationkey"].to_numpy(zero_copy_only=False)]),
+    })
+
+    orders = attach_lookup(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_tab, "o_custkey", "c_custkey",
+    )
+    orders = _drop_nulls(orders, ["cust_nation"]).select_columns(
+        ["o_orderkey", "cust_nation"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+                & (pc.field("l_shipdate") <= dt.datetime(1997, 12, 31))),
+    )
+    li = attach_lookup(li, supp_tab, "l_suppkey", "s_suppkey")
+    li = _drop_nulls(li, ["supp_nation"])
+    li = attach_lookup(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["supp_nation"].to_numpy(zero_copy_only=False)
+        cn = np.asarray(t["cust_nation"].to_pylist(), dtype=object)
+        keep = ((cn == nat_a) | (cn == nat_b)) & (sn != cn)
+        t = t.filter(pa.array(keep))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        u4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        return (
+            pa.table({"supp_nation": t["supp_nation"],
+                      "cust_nation": t["cust_nation"],
+                      "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                      "p_c": u4,
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["supp_nation", "cust_nation", "l_year"])
+            .aggregate([("p_c", "sum"), ("p_n", "sum")])
+            .rename_columns(["supp_nation", "cust_nation", "l_year",
+                             "p_c", "p_n"])
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["revenue"] = ((out["c"] + 50) // 100) / 100.0
+    out["n_items"] = out["n"].astype("int64")
+    return out[["supp_nation", "cust_nation", "l_year", "revenue",
+                "n_items"]].sort_values(
+        ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+def q65_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part order
+    volume by order year — conditional-sum division from EXACT integer
+    1e-4-unit partials, so the Ray quotient and the DuckDB quotient divide
+    bit-identical numerators/denominators."""
+    import datetime as dt
+
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    am_keys = region.loc[region["r_name"] == "AMERICA", "r_regionkey"]
+    am_nations = set(
+        nation.loc[nation["n_regionkey"].isin(am_keys), "n_nationkey"])
+    target_nkey = int(
+        nation.loc[nation["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    part = part.filter(pc.equal(part["p_type"], "PROMO"))
+    promo_tab = pa.table({"p_partkey": part["p_partkey"],
+                          "promo": pa.array(np.ones(len(part), np.int8))})
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    hit = (supp["s_nationkey"].to_numpy(zero_copy_only=False)
+           == target_nkey).astype(np.int8)
+    supp_tab = pa.table({"s_suppkey": supp["s_suppkey"],
+                         "nat_hit": pa.array(hit)})
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pa.array(np.isin(
+        cust["c_nationkey"].to_numpy(zero_copy_only=False),
+        np.fromiter(am_nations, dtype=np.int64))))
+    cust_tab = pa.table({"c_custkey": cust["c_custkey"],
+                         "am": pa.array(np.ones(len(cust), np.int8))})
+
+    orders = attach_lookup(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"],
+              filter=((pc.field("o_orderdate") >= dt.datetime(1995, 1, 1))
+                      & (pc.field("o_orderdate") <= dt.datetime(1996, 12, 31)))),
+        cust_tab, "o_custkey", "c_custkey",
+    )
+    orders = _drop_nulls(orders, ["am"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    orders = orders.map_batches(oyear, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    li = attach_lookup(li, promo_tab, "l_partkey", "p_partkey")
+    li = _drop_nulls(li, ["promo"])
+    li = attach_lookup(li, supp_tab, "l_suppkey", "s_suppkey")
+    li = attach_lookup(li, orders, "l_orderkey", "o_orderkey")
+    li = _drop_nulls(li, ["o_year"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        u4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        nhit = t["nat_hit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pa.table({"o_year": t["o_year"], "p_num": u4 * nhit, "p_den": u4})
+            .group_by("o_year")
+            .aggregate([("p_num", "sum"), ("p_den", "sum")])
+            .rename_columns(["o_year", "p_num", "p_den"])
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("p_num", alias_name="num"),
+                   Sum("p_den", alias_name="den"))
+        .to_pandas()
+    )
+    # half-away-from-zero at 4dp on positive quotients == DuckDB round(x,4)
+    out["mkt_share"] = np.floor(out["num"] * 10000.0 / out["den"] + 0.5) / 10000.0
+    return out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(
+        drop=True)
+
+
+def q66_late_lines_by_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode column): lines
+    bucketed late/ontime by ship lag vs order date, conditionally counted by
+    order priority class — the fact-fact hop is a budgeted attach that
+    becomes a co-partitioned ``Dataset.join`` once orders outgrow the
+    broadcast budget."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    li = attach_lookup(li, orders, "l_orderkey", "o_orderkey")
+    sixty_days = pa.scalar(60 * 86_400_000_000, pa.duration("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        late = pc.greater(t["l_shipdate"],
+                          pc.add(t["o_orderdate"], sixty_days))
+        bucket = pc.if_else(late, pa.scalar("late"), pa.scalar("ontime"))
+        high = pc.is_in(t["o_orderpriority"],
+                        pa.array(["1-URGENT", "2-HIGH"]))
+        hi = high.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pa.table({"bucket": bucket, "p_h": hi, "p_l": 1 - hi})
+            .group_by("bucket")
+            .aggregate([("p_h", "sum"), ("p_l", "sum")])
+            .rename_columns(["bucket", "p_h", "p_l"])
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("p_h", alias_name="high_line_count"),
+                   Sum("p_l", alias_name="low_line_count"))
+        .to_pandas()
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out[["bucket", "high_line_count", "low_line_count"]].sort_values(
+        "bucket").reset_index(drop=True)
+
+
+def q67_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: PROMO share of one month's discounted revenue.
+    Single pruned fact pass, part attached via the budgeted lookup, global
+    conditional sums as exact 1e-4-unit integers."""
+    import datetime as dt
+
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo_flag = pc.equal(part["p_type"], "PROMO")
+    part_tab = pa.table({
+        "p_partkey": part["p_partkey"],
+        "promo": pc.cast(promo_flag, pa.int8()),
+    })
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= dt.datetime(1996, 9, 1))
+                & (pc.field("l_shipdate") < dt.datetime(1996, 10, 1))),
+    )
+    li = attach_lookup(li, part_tab, "l_partkey", "p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        u4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        promo = t["promo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p_num": [int((u4 * promo).sum())],
+                         "p_den": [int(u4.sum())]})
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("p_num", alias_name="num"),
+                   Sum("p_den", alias_name="den"))
+    )
+    num, den = int(agg["sum(p_num)"] if "sum(p_num)" in agg else agg["num"]), \
+        int(agg["sum(p_den)"] if "sum(p_den)" in agg else agg["den"])
+    promo_pct = np.floor(100.0 * num / den * 10000.0 + 0.5) / 10000.0
+    total_rev = ((den + 50) // 100) / 100.0
+    return pd.DataFrame({"promo_pct": [promo_pct], "total_rev": [total_rev]})
+
+
+def q68_or_of_ands_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (adapted: brand/size/quantity bands instead of the
+    container/shipmode columns this schema lacks): disjunction of three
+    conjunctive bands evaluated as one vectorized numpy mask per batch —
+    no row ever leaves Arrow, no join shuffle (part attaches via the
+    budgeted lookup)."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    part_tab = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    li = attach_lookup(li, part_tab, "l_partkey", "p_partkey")
+
+    bands = (("Brand#1", 1, 15, 1, 20),
+             ("Brand#13", 10, 30, 10, 35),
+             ("Brand#20", 20, 50, 20, 50))
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in bands:
+            keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        t = t.filter(pa.array(keep))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        u4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"p_c": [int(u4.sum())], "p_n": [len(t)]})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
+    c = int(agg["sum(p_c)"] if "sum(p_c)" in agg else agg["c"])
+    n = int(agg["sum(p_n)"] if "sum(p_n)" in agg else agg["n"])
+    return pd.DataFrame({"revenue": [((c + 50) // 100) / 100.0],
+                         "n_items": [n]})
+
+
+def q69_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
+    shipper on multi-supplier finalized orders.  The correlated
+    EXISTS/NOT-EXISTS pair decorrelates into two grouped reductions —
+    per-(order,supplier) late flags, then per-order counts where the sole
+    late supplier's key survives as sum(late*suppkey) — so the fact table
+    shuffles once per reduction and nothing order-shaped reaches the
+    driver."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                   filter=(pc.field("o_orderstatus") == "F"))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    li = attach_lookup(li, orders, "l_orderkey", "o_orderkey")
+    li = _drop_nulls(li, ["o_orderdate"])
+    ninety_days = pa.scalar(90 * 86_400_000_000, pa.duration("us"))
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(t["l_shipdate"],
+                                  pc.add(t["o_orderdate"], ninety_days)),
+                       pa.int64())
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_suppkey": t["l_suppkey"], "late": late})
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("late", "max")])
+            .rename_columns(["l_orderkey", "l_suppkey", "late"])
+        )
+
+    per_supp = (
+        li.map_batches(flag_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        late = t["late"].to_numpy(zero_copy_only=False)
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_nl": late, "p_ls": late * supp})
+            .group_by("l_orderkey")
+            .aggregate([("p_n", "sum"), ("p_nl", "sum"), ("p_ls", "sum")])
+            .rename_columns(["l_orderkey", "p_n", "p_nl", "p_ls"])
+        )
+
+    per_order = (
+        per_supp.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_nl", alias_name="nl"),
+                   Sum("p_ls", alias_name="ls"))
+        .filter(expr="n > 1 and nl == 1")
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nkey = int(nation.loc[nation["n_name"] == "NATION_3",
+                          "n_nationkey"].iloc[0])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp.filter(pc.equal(supp["s_nationkey"], nkey))
+    name_of = dict(zip(supp["s_suppkey"].to_pylist(),
+                       supp["s_name"].to_pylist()))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        names = pd.Series(t["ls"].to_pandas()).map(name_of)
+        keep = names.notna().to_numpy()
+        return (
+            pa.table({"s_name": pa.array(names[keep], pa.string()),
+                      "p_w": pa.array(np.ones(int(keep.sum()), np.int64))})
+            .group_by("s_name")
+            .aggregate([("p_w", "sum")])
+            .rename_columns(["s_name", "p_w"])
+        )
+
+    out = (
+        per_order.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("s_name")
+        .aggregate(Sum("p_w", alias_name="numwait"))
+        .to_pandas()
+    )
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True]).head(20)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+def q70_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: above-average-balance LAPSED customers (no order
+    since the cutoff) in a nation band, per nation.  The scalar avg
+    subquery is computed as exact integer cents (sum, count) so the
+    threshold compare runs in integers — ``cents * count > sum`` — and can
+    never flip on float association; the anti join reuses the broadcast
+    distinct-keyset plan (q20) over the date-pruned recent-orders keyset."""
+    import datetime as dt
+
+    cutoff = dt.datetime(2000, 1, 1)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"],
+                 filter=(pc.field("c_nationkey") <= 6))
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        cents = cents.to_numpy(zero_copy_only=False)
+        pos = cents > 0
+        return pa.table({"p_s": [int(cents[pos].sum())],
+                         "p_n": [int(pos.sum())]})
+
+    agg = cust.map_batches(pos_partial, batch_format="pyarrow").aggregate(
+        Sum("p_s", alias_name="s"), Sum("p_n", alias_name="cnt"))
+    s = int(agg["sum(p_s)"] if "sum(p_s)" in agg else agg["s"])
+    cnt = int(agg["sum(p_n)"] if "sum(p_n)" in agg else agg["cnt"])
+
+    okeys = np.sort(np.asarray(
+        _read(sf_dir, "orders", columns=["o_custkey"],
+              filter=(pc.field("o_orderdate") >= cutoff)).unique("o_custkey")))
+    keys_ref = ray.put(np.ascontiguousarray(okeys))
+
+    def qualify(t: pa.Table, ref=keys_ref) -> pa.Table:
+        ks = ray.get(ref)
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        cents_np = cents.to_numpy(zero_copy_only=False)
+        t = t.append_column("cents", cents)
+        rich = cents_np * cnt > s
+        vals = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ks, vals), 0, len(ks) - 1)
+        ordered = ks[idx] == vals
+        t = t.filter(pa.array(rich & ~ordered))
+        return (
+            pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_c": t["cents"]})
+            .group_by("nationkey")
+            .aggregate([("p_n", "sum"), ("p_c", "sum")])
+            .rename_columns(["nationkey", "p_n", "p_c"])
+        )
+
+    out = (
+        cust.map_batches(qualify, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("p_n", alias_name="numcust"),
+                   Sum("p_c", alias_name="c"))
+        .to_pandas()
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["c"] / 100.0
+    return out[["nationkey", "numcust", "totacctbal"]].sort_values(
+        "nationkey").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -3238,6 +3706,156 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY li.l_partkey, sq, cnt
         ORDER BY partkey
     """,
+    "q64_volume_shipping": """
+        -- TPC-H Q7 shape: two-nation bidirectional trade volume by ship
+        -- year; exact 1e-4 units, q01 cent rounding
+        SELECT supp_nation, cust_nation, l_year,
+               ((sum(u4) + 50) // 100) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT) AS u4
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                 AND TIMESTAMP '1997-12-31'
+        )
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q65_market_share": """
+        -- TPC-H Q8 shape: NATION_3's share of AMERICA's PROMO-part order
+        -- volume by order year; quotient evaluated num*1e4/den exactly as
+        -- the engine does (identical IEEE op order)
+        SELECT o_year,
+               floor(CAST(num AS DOUBLE) * 10000.0 / CAST(den AS DOUBLE)
+                     + 0.5) / 10000.0 AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   sum(CASE WHEN sn.n_name = 'NATION_3' THEN u4 ELSE 0 END)
+                       AS num,
+                   sum(u4) AS den
+            FROM (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                                  0) AS BIGINT) AS u4
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'PROMO'
+            ) li
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = cn.n_regionkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            WHERE r_name = 'AMERICA'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+            GROUP BY 1
+        )
+        ORDER BY o_year
+    """,
+    "q66_late_lines_by_priority": """
+        -- TPC-H Q12 shape (schema has no l_shipmode: bucket by ship lag
+        -- instead), conditional priority-class counts
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'late' ELSE 'ontime' END AS bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q67_promo_revenue": """
+        -- TPC-H Q14 shape: PROMO share of one month's discounted revenue
+        SELECT floor(100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS promo_pct,
+               ((den + 50) // 100) / 100.0 AS total_rev
+        FROM (
+            SELECT sum(CASE WHEN p_type = 'PROMO' THEN u4 ELSE 0 END) AS num,
+                   CAST(sum(u4) AS BIGINT) AS den
+            FROM (
+                SELECT l_partkey,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                                  0) AS BIGINT) AS u4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate <  TIMESTAMP '1996-10-01'
+            ) JOIN part ON p_partkey = l_partkey
+        )
+    """,
+    "q68_or_of_ands_revenue": """
+        -- TPC-H Q19 shape: disjunction of three brand/size/quantity bands
+        SELECT ((CAST(sum(u4) AS BIGINT) + 50) // 100) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM (
+            SELECT p_brand, p_size, l_quantity,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT) AS u4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+        )
+        WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "q69_waiting_suppliers": """
+        -- TPC-H Q21 shape: sole late shipper on multi-supplier 'F' orders,
+        -- one nation; the oracle keeps the correlated EXISTS form the
+        -- engine decorrelates
+        SELECT s_name,
+               CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+                       AND o.o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                       AND n.n_name = 'NATION_3'
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate
+                                                + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q70_sales_opportunity": """
+        -- TPC-H Q22 shape: above-average-balance lapsed customers
+        -- per nation; threshold compared in exact integer cents
+        WITH pos AS (
+            SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                        AS BIGINT) AS s,
+                   count(*) AS cnt
+            FROM customer
+            WHERE c_nationkey <= 6 AND round(c_acctbal * 100, 0) > 0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               count(*) AS numcust,
+               sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM customer, pos
+        WHERE c_nationkey <= 6
+          AND CAST(round(c_acctbal * 100, 0) AS BIGINT) * cnt > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY 1
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -3321,4 +3939,11 @@ SQL_QUERIES = {
     "q61_gapfilled_monthly": q61_gapfilled_monthly,
     "q62_stratified_sample": q62_stratified_sample,
     "q63_small_qty_revenue": q63_small_qty_revenue,
+    "q64_volume_shipping": q64_volume_shipping,
+    "q65_market_share": q65_market_share,
+    "q66_late_lines_by_priority": q66_late_lines_by_priority,
+    "q67_promo_revenue": q67_promo_revenue,
+    "q68_or_of_ands_revenue": q68_or_of_ands_revenue,
+    "q69_waiting_suppliers": q69_waiting_suppliers,
+    "q70_sales_opportunity": q70_sales_opportunity,
 }
