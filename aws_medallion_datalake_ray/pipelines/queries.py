@@ -2965,6 +2965,184 @@ def q70_sales_opportunity(sf_dir: str) -> pd.DataFrame:
         "nationkey").reset_index(drop=True)
 
 
+def q71_moving_avg_revenue(sf_dir: str) -> pd.DataFrame:
+    """Bounded-frame window (AVG ... ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW): the heavy part — daily revenue per returnflag — is a fully
+    distributed partial-combine aggregate; the 7-row rolling mean then runs
+    on the tiny (flag x day) frame driver-side, the q36 discipline for
+    calendar-bounded windows (the frame cardinality is days x flags,
+    independent of fact rows).  Exact integer cents make the rolling sums
+    bit-identical to DuckDB's."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return (
+            pa.table({"l_returnflag": t["l_returnflag"],
+                      "day": pc.floor_temporal(t["l_shipdate"], unit="day"),
+                      "p_c": cents})
+            .group_by(["l_returnflag", "day"])
+            .aggregate([("p_c", "sum")])
+            .rename_columns(["l_returnflag", "day", "p_c"])
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "day"])
+        .aggregate(Sum("p_c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "day"])
+        .reset_index(drop=True)
+    )
+    g = agg.groupby("l_returnflag")["c"]
+    rsum = g.rolling(7, min_periods=1).sum().reset_index(drop=True)
+    rcnt = g.rolling(7, min_periods=1).count().reset_index(drop=True)
+    agg["day_rev"] = (agg["c"] / 100.0).round(2)
+    # identical IEEE op order to the SQL: exact-int cents mean, half-up floor
+    agg["ma7"] = np.floor(rsum / rcnt + 0.5) / 100.0
+    return agg[["l_returnflag", "day", "day_rev", "ma7"]]
+
+
+def q72_grouped_correlation(sf_dir: str) -> pd.DataFrame:
+    """Correlation / sample covariance / sample stddevs per group from
+    EXACT integer moment sums (n, Σx, Σy, Σx², Σy², Σxy in quantity units x
+    discount basis points): the five partials combine associatively inside
+    map_batches, one tiny groupby merges them, and both engines evaluate
+    the same closed-form moments in the same IEEE order — a mergeable-
+    statistics pattern DuckDB's own streaming corr() cannot hash-match."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pa.table({"l_returnflag": t["l_returnflag"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_sx": x, "p_sy": y,
+                      "p_sxx": x * x, "p_syy": y * y, "p_sxy": x * y})
+            .group_by("l_returnflag")
+            .aggregate([("p_n", "sum"), ("p_sx", "sum"), ("p_sy", "sum"),
+                        ("p_sxx", "sum"), ("p_syy", "sum"), ("p_sxy", "sum")])
+            .rename_columns(["l_returnflag", "p_n", "p_sx", "p_sy",
+                             "p_sxx", "p_syy", "p_sxy"])
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sx", alias_name="sx"),
+                   Sum("p_sy", alias_name="sy"), Sum("p_sxx", alias_name="sxx"),
+                   Sum("p_syy", alias_name="syy"), Sum("p_sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+    n = out["n"].astype("float64")
+    vx = (out["n"] * out["sxx"] - out["sx"] * out["sx"]).astype("float64")
+    vy = (out["n"] * out["syy"] - out["sy"] * out["sy"]).astype("float64")
+    cov_num = (out["n"] * out["sxy"] - out["sx"] * out["sy"]).astype("float64")
+    fl4 = lambda x: np.floor(x * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    out["n_rows"] = out["n"].astype("int64")
+    out["corr_qty_disc"] = fl4(cov_num / (np.sqrt(vx) * np.sqrt(vy)))
+    out["covar_samp"] = fl4(cov_num / (n * (n - 1.0)) / 100.0)
+    out["stddev_qty"] = fl4(np.sqrt(vx / (n * (n - 1.0))))
+    out["stddev_disc"] = fl4(np.sqrt(vy / (n * (n - 1.0))) / 100.0)
+    return out[["l_returnflag", "n_rows", "corr_qty_disc", "covar_samp",
+                "stddev_qty", "stddev_disc"]].sort_values(
+        "l_returnflag").reset_index(drop=True)
+
+
+def q73_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((flag,status),(flag),(status)) — the general form
+    rollup (q35) and cube (q55) specialize.  One distributed pass computes
+    the finest grain; the coarser sets re-aggregate from that tiny result
+    driver-side (never from the fact table), with the 'ALL' sentinel for
+    the grouped-out column."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return (
+            pa.table({"l_returnflag": t["l_returnflag"],
+                      "l_linestatus": t["l_linestatus"],
+                      "p_n": pa.array(np.ones(len(t), np.int64)),
+                      "p_q": qty})
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("p_n", "sum"), ("p_q", "sum")])
+            .rename_columns(["l_returnflag", "l_linestatus", "p_n", "p_q"])
+        )
+
+    fine = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_q", alias_name="q"))
+        .to_pandas()
+    )
+    by_flag = fine.groupby("l_returnflag", as_index=False)[["n", "q"]].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False)[["n", "q"]].sum()
+    by_status["l_returnflag"] = "ALL"
+    out = pd.concat([fine, by_flag, by_status], ignore_index=True)
+    out["n_rows"] = out["n"].astype("int64")
+    out["sum_qty"] = out["q"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n_rows", "sum_qty"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q74_first_last_event(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE window per entity: each user's earliest and
+    latest event (type + value), with event_id tie-break, composed from the
+    engine's keep-first/keep-latest grouped-extreme op (hash-partitioned
+    per-key reduction — no global sort) plus a distributed count; the two
+    extreme rows join back on the budgeted lookup."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    first = keep_latest(ev, ["user_id"], ["ts", "event_id"], keep="first")
+    last = keep_latest(ev, ["user_id"], ["ts", "event_id"], keep="last")
+
+    def f_names(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "first_type": t["event_type"],
+                         "first_value": t["value"]})
+
+    def l_names(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "last_type": t["event_type"],
+                         "last_value": t["value"]})
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"user_id": t["user_id"],
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("user_id")
+            .aggregate([("p_n", "sum")])
+            .rename_columns(["user_id", "p_n"])
+        )
+
+    counts = (
+        ev.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("p_n", alias_name="n_events"))
+    )
+    out = attach_lookup(
+        attach_lookup(first.map_batches(f_names, batch_format="pyarrow"),
+                      last.map_batches(l_names, batch_format="pyarrow"),
+                      "user_id"),
+        counts, "user_id",
+    ).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["user_id", "first_type", "first_value", "last_type",
+                "last_value", "n_events"]].sort_values("user_id").reset_index(
+        drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -3856,6 +4034,87 @@ ORACLE_SQL: dict[str, str] = {
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY 1 ORDER BY 1
     """,
+    "q71_moving_avg_revenue": """
+        -- 7-row moving average over per-flag daily revenue; exact-cents
+        -- rolling sums, half-up floor at the cent boundary
+        SELECT l_returnflag, day, round(c / 100.0, 2) AS day_rev,
+               floor(CAST(sum(c) OVER w AS DOUBLE)
+                     / CAST(count(*) OVER w AS DOUBLE) + 0.5) / 100.0 AS ma7
+        FROM (
+            SELECT l_returnflag,
+                   CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS c
+            FROM lineitem GROUP BY 1, 2
+        )
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY l_returnflag, day
+    """,
+    "q72_grouped_correlation": """
+        -- corr/covar/stddev recomputed from the SAME exact integer moment
+        -- sums the engine merges (quantity units x discount basis points),
+        -- evaluated in the same IEEE op order — NOT DuckDB's streaming
+        -- corr(), whose accumulation order is engine-private
+        WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+                FROM lineitem
+            )
+            GROUP BY 1
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS corr_qty_disc,
+               floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                     / 100.0 * 10000.0 + 0.5) / 10000.0 AS covar_samp,
+               floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     * 10000.0 + 0.5) / 10000.0 AS stddev_qty,
+               floor(sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     / 100.0 * 10000.0 + 0.5) / 10000.0 AS stddev_disc
+        FROM m ORDER BY 1
+    """,
+    "q73_grouping_sets": """
+        -- the general GROUPING SETS form rollup (q35) / cube (q55)
+        -- specialize; 'ALL' sentinel for the grouped-out column
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY 1, 2
+    """,
+    "q74_first_last_event": """
+        -- FIRST_VALUE/LAST_VALUE per user with event_id tie-break
+        WITH ranked AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        )
+        SELECT f.user_id,
+               f.event_type AS first_type, f.value AS first_value,
+               l.event_type AS last_type,  l.value AS last_value,
+               CAST(f.n AS BIGINT) AS n_events
+        FROM ranked f JOIN ranked l ON f.user_id = l.user_id
+        WHERE f.rn_a = 1 AND l.rn_d = 1
+        ORDER BY f.user_id
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -3946,4 +4205,8 @@ SQL_QUERIES = {
     "q68_or_of_ands_revenue": q68_or_of_ands_revenue,
     "q69_waiting_suppliers": q69_waiting_suppliers,
     "q70_sales_opportunity": q70_sales_opportunity,
+    "q71_moving_avg_revenue": q71_moving_avg_revenue,
+    "q72_grouped_correlation": q72_grouped_correlation,
+    "q73_grouping_sets": q73_grouping_sets,
+    "q74_first_last_event": q74_first_last_event,
 }
