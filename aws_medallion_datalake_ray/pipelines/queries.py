@@ -3143,6 +3143,189 @@ def q74_first_last_event(sf_dir: str) -> pd.DataFrame:
         drop=True)
 
 
+def q75_tfidf_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-language top-5 TF-IDF terms — the corpus term-importance op.
+    One Arrow-RE2 tokenize pass emits per-(doc,lang,word) counts, from
+    which BOTH moments partial-combine: tf (occurrences per lang x word)
+    and df (docs containing word).  IDF is quantized to an exact integer
+    (``N * 10000 // df``) so the ranking score ``tf * idf_q`` is
+    engine-portable — no libm ``ln`` whose last ulp differs across
+    engines decides an ordering.  Per-block local top-5 per lang caps the
+    driver merge at 5 x langs rows per block (the q39 discipline)."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    K = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        per_doc = pa.table({
+            "pi": parent,
+            "lang": pc.take(t["lang"], parent),
+            "word": flat,
+        }).filter(pc.not_equal(flat, ""))
+        per_doc = (
+            per_doc.group_by(["pi", "lang", "word"])
+            .aggregate([("word", "count")])
+            .rename_columns(["pi", "lang", "word", "cnt"])
+        )
+        ones = pa.array(np.ones(len(per_doc), np.int64))
+        return (
+            pa.table({"lang": per_doc["lang"], "word": per_doc["word"],
+                      "p_tf": per_doc["cnt"], "p_df": ones})
+            .group_by(["lang", "word"])
+            .aggregate([("p_tf", "sum"), ("p_df", "sum")])
+            .rename_columns(["lang", "word", "p_tf", "p_df"])
+        )
+
+    tf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("p_tf", alias_name="tf"), Sum("p_df", alias_name="df_l"))
+        .materialize()  # reused by the df rollup and the scoring pass
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"word": t["word"], "p_d": t["df_l"]})
+            .group_by("word")
+            .aggregate([("p_d", "sum")])
+            .rename_columns(["word", "p_d"])
+        )
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("p_d", alias_name="df"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_np = t["tf"].to_numpy(zero_copy_only=False)
+        df_np = t["df"].to_numpy(zero_copy_only=False)
+        idf_q = (np.int64(n_docs) * 10000) // df_np
+        out = pa.table({"lang": t["lang"], "term": t["word"],
+                        "tf": t["tf"], "df": t["df"],
+                        "score": tf_np * idf_q})
+        d = out.to_pandas()
+        d = (d.sort_values(["score", "term"], ascending=[False, True])
+             .groupby("lang", as_index=False).head(K))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    top = attach_lookup(tf, df, "word").map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    top = (top.sort_values(["score", "term"], ascending=[False, True])
+           .groupby("lang", as_index=False).head(K))
+    for c in ("tf", "df", "score"):
+        top[c] = top[c].astype("int64")
+    return top[["lang", "term", "tf", "df", "score"]].sort_values(
+        ["lang", "term"]).reset_index(drop=True)
+
+
+def q76_funnel_steps(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel (view -> click -> purchase): per-user sequence
+    matching needs every user's events co-located, so rows hash-partition
+    on user into O(CPUs) groups and each partition resolves its users'
+    step timestamps with three vectorized grouped mins (no Python loop
+    over users); only three counters per partition reach the reduce."""
+    from aws_medallion_datalake_ray.functions.dedup import _add_part, _PART
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def steps(df: pd.DataFrame) -> pd.DataFrame:
+        views = df[df["event_type"] == "view"]
+        t1 = views.groupby("user_id")["ts"].min()
+        clicks = df[df["event_type"] == "click"].copy()
+        clicks["t1"] = clicks["user_id"].map(t1)
+        clicks = clicks[clicks["ts"] > clicks["t1"]]
+        t2 = clicks.groupby("user_id")["ts"].min()
+        buys = df[df["event_type"] == "purchase"].copy()
+        buys["t2"] = buys["user_id"].map(t2)
+        buys = buys[buys["ts"] > buys["t2"]]
+        t3 = buys.groupby("user_id")["ts"].min()
+        return pd.DataFrame({"p1": [len(t1)], "p2": [len(t2)],
+                             "p3": [len(t3)]})
+
+    agg = (
+        ev.map_batches(_add_part(("user_id",), 32), batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(steps, batch_format="pandas")
+        .aggregate(Sum("p1", alias_name="n_view"),
+                   Sum("p2", alias_name="n_view_click"),
+                   Sum("p3", alias_name="n_view_click_purchase"))
+    )
+    return pd.DataFrame({
+        "n_view": [int(agg["n_view"])],
+        "n_view_click": [int(agg["n_view_click"])],
+        "n_view_click_purchase": [int(agg["n_view_click_purchase"])],
+    })
+
+
+def q77_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order transition matrix of the event stream (LAG OVER
+    PARTITION BY user ORDER BY ts): per-user adjacency needs co-location,
+    so rows hash-partition on user, each partition sorts once and takes a
+    vectorized shifted comparison (prev row same user -> pair), emitting
+    per-partition (prev, cur, n) partials into a 25-cell groupby."""
+    from aws_medallion_datalake_ray.functions.dedup import _add_part, _PART
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        prev = df["event_type"].to_numpy()[:-1][same]
+        cur = df["event_type"].to_numpy()[1:][same]
+        out = pd.DataFrame({"prev_type": prev, "event_type": cur})
+        out = out.groupby(["prev_type", "event_type"], as_index=False).size()
+        return out.rename(columns={"size": "p_n"})
+
+    out = (
+        ev.map_batches(_add_part(("user_id",), 32), batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["prev_type", "event_type", "n"]].sort_values(
+        ["prev_type", "event_type"]).reset_index(drop=True)
+
+
+def q78_brand_rank(sf_dir: str) -> pd.DataFrame:
+    """RANK and DENSE_RANK with REAL ties (integer part counts per
+    type x brand): the distributed pass reduces the fact table to the tiny
+    type x brand grid; rank assignment then runs on that dim-sized frame —
+    the q36 discipline for rank windows whose partition count is bounded."""
+    part = _read(sf_dir, "part", columns=["p_type", "p_brand"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"p_type": t["p_type"], "p_brand": t["p_brand"],
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by(["p_type", "p_brand"])
+            .aggregate([("p_n", "sum")])
+            .rename_columns(["p_type", "p_brand", "p_n"])
+        )
+
+    out = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_type", "p_brand"])
+        .aggregate(Sum("p_n", alias_name="n_parts"))
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    g = out.groupby("p_type")["n_parts"]
+    out["rnk"] = g.rank(method="min", ascending=False).astype("int64")
+    out["drnk"] = g.rank(method="dense", ascending=False).astype("int64")
+    return out[["p_type", "p_brand", "n_parts", "rnk", "drnk"]].sort_values(
+        ["p_type", "p_brand"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4115,6 +4298,76 @@ ORACLE_SQL: dict[str, str] = {
         WHERE f.rn_a = 1 AND l.rn_d = 1
         ORDER BY f.user_id
     """,
+    "q75_tfidf_terms": """
+        -- per-language top-5 TF-IDF with integer-quantized IDF
+        -- (N*10000 // df): the ranking score is exact in both engines
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT lang, w, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df_l
+            FROM tok WHERE w <> '' GROUP BY 1, 2
+        ), df AS (
+            SELECT w, CAST(sum(df_l) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), nd AS (SELECT count(*) AS n FROM documents)
+        SELECT lang, term, tf, df, CAST(score AS BIGINT) AS score FROM (
+            SELECT tf.lang, tf.w AS term, tf.tf, df.df,
+                   tf.tf * ((nd.n * 10000) // df.df) AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.lang
+                       ORDER BY tf.tf * ((nd.n * 10000) // df.df) DESC,
+                                tf.w) AS rk
+            FROM tf JOIN df ON tf.w = df.w, nd
+        ) WHERE rk <= 5 ORDER BY lang, term
+    """,
+    "q76_funnel_steps": """
+        -- ordered funnel: first view, first click after it, first
+        -- purchase after that
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), t2 AS (
+            SELECT e.user_id, min(e.ts) AS ts2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.ts1
+            GROUP BY e.user_id
+        ), t3 AS (
+            SELECT e.user_id, min(e.ts) AS ts3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM t1) AS n_view,
+               (SELECT count(*) FROM t2) AS n_view_click,
+               (SELECT count(*) FROM t3) AS n_view_click_purchase
+    """,
+    "q77_event_transitions": """
+        -- first-order transition counts (LAG per user, event_id tie-break)
+        SELECT prev_type, event_type, count(*) AS n FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type,
+                   event_type
+            FROM events
+        ) WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q78_brand_rank": """
+        -- RANK / DENSE_RANK with real integer-count ties
+        SELECT p_type, p_brand, n_parts,
+               CAST(rank() OVER (PARTITION BY p_type
+                                 ORDER BY n_parts DESC) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY p_type
+                                       ORDER BY n_parts DESC) AS BIGINT)
+                   AS drnk
+        FROM (
+            SELECT p_type, p_brand, count(*) AS n_parts
+            FROM part GROUP BY 1, 2
+        )
+        ORDER BY 1, 2
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4209,4 +4462,8 @@ SQL_QUERIES = {
     "q72_grouped_correlation": q72_grouped_correlation,
     "q73_grouping_sets": q73_grouping_sets,
     "q74_first_last_event": q74_first_last_event,
+    "q75_tfidf_terms": q75_tfidf_terms,
+    "q76_funnel_steps": q76_funnel_steps,
+    "q77_event_transitions": q77_event_transitions,
+    "q78_brand_rank": q78_brand_rank,
 }
