@@ -93,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-id", type=int, default=None)
     p.add_argument("--drop", action="store_true")
 
+    p = add("branch")
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", default=None, help="omit to list branches")
+    p.add_argument("--at", type=int, default=None,
+                   help="snapshot to branch from (default HEAD)")
+    p.add_argument("--drop", action="store_true")
+    p.add_argument("--fast-forward", action="store_true",
+                   help="move HEAD to this branch's head")
+
     p = add("delete-where")
     p.add_argument("--table", required=True)
     p.add_argument("--where", action="append", required=True,
@@ -191,6 +200,15 @@ def main(argv: list[str] | None = None) -> int:
             elif args.name:
                 t.tag_snapshot(args.name, args.snapshot_id)
             out["tags"] = t.tags()
+        elif args.cmd == "branch":
+            t = _table(args.table)
+            if args.name and args.drop:
+                t.drop_branch(args.name)
+            elif args.name and args.fast_forward:
+                out["head"] = t.fast_forward(args.name).snapshot_id
+            elif args.name:
+                out["created_at"] = t.create_branch(args.name, args.at)
+            out["branches"] = t.branches()
         elif args.cmd in ("delete-where", "update-where"):
             def _coerce(v: str):
                 for cast in (int, float):

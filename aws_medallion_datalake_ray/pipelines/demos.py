@@ -336,6 +336,48 @@ def demo_write_audit_publish(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def demo_branch_workflow(sf_dir: str) -> pd.DataFrame:
+    """Branch refs (the multi-commit generalization of WAP): an audited
+    SERIES — backfill append, exact dedup, compaction — runs on a branch
+    while main readers keep serving the old table byte-identically; the
+    series lands on main with one fast-forward.  A diverged branch is
+    refused (CommitConflict), not silently merged."""
+    from aws_medallion_datalake_ray.state.manifest import CommitConflict
+
+    t, base = _fresh_table(sf_dir, "branch")
+    fp_main = t.content_checksum(("repo", "path"))
+    n0 = t.scan().count()
+
+    t.create_branch("audit")
+    br = t.branch("audit")
+    br.append(make_source_files(120, seed=71), run_ts="2024-01-02T00:00:00")
+    br.compact(min_files_per_bin=1, run_ts="2024-01-02T00:00:01")
+    main_untouched = (t.content_checksum(("repo", "path")) == fp_main
+                      and t.scan().count() == n0)
+    branch_rows = br.scan().count()
+    t.fast_forward("audit")
+    rows_after_ff = t.scan().count()
+
+    # divergence is detected, never merged silently
+    t.create_branch("stale")
+    t.append(make_source_files(10, seed=72), run_ts="2024-01-02T00:00:02")
+    try:
+        t.fast_forward("stale")
+        diverged_refused = False
+    except CommitConflict:
+        diverged_refused = True
+    t.drop_branch("stale")
+
+    return pd.DataFrame([{
+        "main_untouched_during_series": main_untouched,
+        "branch_rows": branch_rows,
+        "rows_after_fast_forward": rows_after_ff,
+        "fast_forward_adopted_series": rows_after_ff == branch_rows,
+        "diverged_fast_forward_refused": diverged_refused,
+        "live_branches": len(t.branches()),
+    }])
+
+
 def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
     sketch state is a constant 4 KiB per block regardless of cardinality
@@ -803,6 +845,7 @@ DEMO_QUERIES = {
     "m07_change_feed": demo_change_feed,
     "m08_incremental_view": demo_incremental_view,
     "m09_write_audit_publish": demo_write_audit_publish,
+    "m10_branch_workflow": demo_branch_workflow,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,

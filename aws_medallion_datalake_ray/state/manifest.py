@@ -341,8 +341,8 @@ class ManifestStore:
             # orphaned snap/manifest files are GC'd as unreachable)
             if not self._owns_lock(lock, lock_token):
                 raise CommitConflict("commit lock lost mid-commit; retry")
-            # the atomic swap: readers resolve HEAD exactly once per scan
-            atomic_write_json(os.path.join(self.dir, "HEAD"), {"snapshot_id": new_id})
+            # the atomic swap: readers resolve the ref exactly once per scan
+            self._swap_head(new_id)
             return snap
         finally:
             # release only if still ours — never remove a successor's lock
@@ -396,9 +396,97 @@ class ManifestStore:
                 )
             if not self._owns_lock(lock, lock_token):
                 raise CommitConflict("commit lock lost mid-publish; retry")
-            atomic_write_json(os.path.join(self.dir, "HEAD"),
-                              {"snapshot_id": snapshot_id})
+            self._swap_head(snapshot_id)
             return snap
+        finally:
+            if self._owns_lock(lock, lock_token):
+                os.unlink(lock)
+
+    # ------------------------------------------------------------ refs
+
+    def _swap_head(self, new_id: int) -> None:
+        """Atomically move this store's writable ref (``HEAD`` here; a
+        branch pointer in :class:`BranchStore`).  Callers hold the commit
+        lock."""
+        atomic_write_json(os.path.join(self.dir, "HEAD"), {"snapshot_id": new_id})
+
+    def refs(self) -> dict[str, int]:
+        """Named writable branch refs (name -> snapshot id).  ``HEAD`` — the
+        main branch — is stored separately and is not listed here."""
+        try:
+            with open(os.path.join(self.dir, "refs.json")) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        """Caller holds the commit lock (refs.json is a read-modify-write)."""
+        atomic_write_json(os.path.join(self.dir, "refs.json"), refs)
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Create a writable branch ref pointing at ``at`` (default: current
+        HEAD).  Branch commits advance the ref without touching HEAD; main
+        adopts a branch with :meth:`fast_forward`.  The locked RMW mirrors
+        tags.json (an unlocked RMW can silently lose a concurrent ref)."""
+        if name == "HEAD" or "/" in name or not name:
+            raise ValueError(f"invalid branch name {name!r}")
+        with self.locked():
+            refs = self.refs()
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists")
+            sid = at if at is not None else self.head_id()
+            if sid is None:
+                raise ValueError("cannot branch an empty table (no snapshots)")
+            self.snapshot(sid)  # must resolve
+            refs[name] = int(sid)
+            self._write_refs(refs)
+            return int(sid)
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch ref.  Its snapshots lose their retention pin and
+        expire like any other off-chain history; data files follow via GC."""
+        with self.locked():
+            refs = self.refs()
+            if name not in refs:
+                raise ValueError(f"no branch {name!r}")
+            del refs[name]
+            self._write_refs(refs)
+
+    def branch_head_id(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no branch {name!r}")
+        return refs[name]
+
+    def _chain_of(self, snapshot_id: int | None) -> set[int]:
+        """Ancestry ids reachable from ``snapshot_id`` (inclusive)."""
+        chain: set[int] = set()
+        while snapshot_id is not None:
+            chain.add(snapshot_id)
+            try:
+                snapshot_id = self.snapshot(snapshot_id).parent_id
+            except FileNotFoundError:  # ancestor already expired
+                break
+        return chain
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Move HEAD to a branch's head — the branch-merge step when main
+        has not advanced past the fork point (the branch head's ancestry
+        must contain current HEAD; otherwise the branch must be rebased by
+        replaying its ops, and this raises :class:`CommitConflict`)."""
+        lock, lock_token = self._acquire_lock()
+        try:
+            target = self.branch_head_id(name)
+            head = self.head_id()
+            if head is not None and head not in self._chain_of(target):
+                raise CommitConflict(
+                    f"HEAD {head} is not an ancestor of branch {name!r} "
+                    f"head {target}; rebase the branch"
+                )
+            if not self._owns_lock(lock, lock_token):
+                raise CommitConflict("commit lock lost mid-fast-forward; retry")
+            self._swap_head(target)
+            return self.snapshot(target)
         finally:
             if self._owns_lock(lock, lock_token):
                 os.unlink(lock)
@@ -434,6 +522,12 @@ class ManifestStore:
         except FileNotFoundError:
             pass
         chain = self._head_chain()
+        # live branches pin their whole ancestry (a branch commit's parent
+        # chain must stay resolvable until the branch is dropped or merged)
+        for sid in self.refs().values():
+            branch_chain = self._chain_of(sid)
+            keep |= branch_chain
+            chain |= branch_chain
         for snap in self.snapshots():
             if snap.snapshot_id not in chain:
                 # ONLY explicitly staged snapshots survive off-chain — a
@@ -459,3 +553,27 @@ class ManifestStore:
                     if os.path.exists(p):
                         os.unlink(p)
         return expired
+
+
+class BranchStore(ManifestStore):
+    """A :class:`ManifestStore` whose writable ref is a named branch instead
+    of ``HEAD``: reads resolve the branch pointer, and every commit advances
+    the branch under the SAME table-wide commit lock (one lock per table, so
+    branch and main commits serialize but never corrupt each other).  All
+    snapshot/manifest/data storage is shared with main — a branch is one
+    integer in ``refs.json``, Iceberg-ref style."""
+
+    def __init__(self, table_root: str, branch: str):
+        super().__init__(table_root)
+        self.branch = branch
+
+    def head_id(self) -> int | None:
+        return self.branch_head_id(self.branch)
+
+    def _swap_head(self, new_id: int) -> None:
+        # caller (commit/publish) holds the commit lock — plain RMW is safe
+        refs = self.refs()
+        if self.branch not in refs:
+            raise CommitConflict(f"branch {self.branch!r} was dropped")
+        refs[self.branch] = int(new_id)
+        self._write_refs(refs)

@@ -1762,6 +1762,42 @@ class LakeTable:
     def scan_tag(self, name: str, **kw) -> "ray.data.Dataset":
         return self.scan(snapshot_id=self.tags()[name], **kw)
 
+    # ------------------------------------------------------------ branches
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Create a named writable branch ref at ``at`` (default HEAD).
+        Unlike a tag (read-only pin), a branch ADVANCES: every table op run
+        through :meth:`branch` commits snapshots that move the branch
+        pointer while main's HEAD — and every main reader — is untouched.
+        This is the multi-commit generalization of WAP (stage_append covers
+        one audited commit; a branch carries an audited SERIES: backfill →
+        dedup → compact, then one :meth:`fast_forward`)."""
+        return self.store.create_branch(name, at)
+
+    def branch(self, name: str) -> "LakeTable":
+        """A handle on the same table whose ref is branch ``name``: all ops
+        (append / merge / delete / compact / zorder / scan / time travel)
+        work unchanged, sharing data files, the snapshot tree, and the ONE
+        table-wide commit lock with main."""
+        from aws_medallion_datalake_ray.state.manifest import BranchStore
+
+        t = LakeTable(self.root)
+        t.store = BranchStore(self.root, name)
+        return t
+
+    def branches(self) -> dict[str, int]:
+        return self.store.refs()
+
+    def drop_branch(self, name: str) -> None:
+        self.store.drop_branch(name)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Adopt branch ``name`` on main (HEAD must be an ancestor of the
+        branch head — i.e. main did not advance since the fork; otherwise
+        :class:`CommitConflict` and the branch must be rebased by replaying
+        its ops on current HEAD)."""
+        return self.store.fast_forward(name)
+
     # ------------------------------------------------------ write-audit-publish
 
     def stage_append(self, data, run_ts: str = "1970-01-01T00:00:00") -> Snapshot:
