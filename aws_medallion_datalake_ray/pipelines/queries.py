@@ -1228,19 +1228,15 @@ def q37_regional_supplier_revenue(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------- q38
 
 
-def q38_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Grouped EXACT quantiles with ZERO shuffle (q24's mergeable
-    cent-histogram sketch, keyed per group): each block contributes a
-    {flag: sorted (cents, count) arrays} state, tree-combined by Ray's
-    aggregate — only KB-sized states move.  State is bounded by |groups| x
-    |price domain|, never by the corpus.  Replaced a distributed
-    (flag, cents) groupby that shuffled one row per distinct pair
-    (6.9 s -> scan-bound at sf0.1)."""
+def _grouped_cent_hist(group_col: str, value_col: str):
+    """Mergeable per-group exact cent histogram (q24's sketch keyed per
+    group): each block contributes {group: sorted (cents, count) arrays},
+    tree-combined by Ray's aggregate — only KB-sized states move, bounded
+    by |groups| x |value domain|, never by the corpus.  Shared by the
+    grouped-quantile (q38) and trimmed-mean (q81) order-statistic ops."""
     from ray.data.aggregate import AggregateFnV2 as _AggBase
 
     from aws_medallion_datalake_ray.functions.dedup import merge_count_states
-
-    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
 
     class GroupedCentHist(_AggBase):
         def __init__(self):
@@ -1250,9 +1246,9 @@ def q38_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
         def aggregate_block(self, block):
             t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
             cents = pc.cast(
-                pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                pc.round(pc.multiply(t[value_col], pa.scalar(100.0))),
                 pa.int64())
-            g = (pa.table({"f": t["l_returnflag"], "c": cents})
+            g = (pa.table({"f": t[group_col], "c": cents})
                  .group_by(["f", "c"]).aggregate([([], "count_all")]))
             f = np.asarray(g["f"].to_pandas(), dtype=object)
             c = np.asarray(g["c"])
@@ -1273,7 +1269,20 @@ def q38_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
                              if flag in out else state)
             return out
 
-    hist = ds.aggregate(GroupedCentHist())["ghist"]
+    return GroupedCentHist()
+
+
+def q38_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Grouped EXACT quantiles with ZERO shuffle (q24's mergeable
+    cent-histogram sketch, keyed per group): each block contributes a
+    {flag: sorted (cents, count) arrays} state, tree-combined by Ray's
+    aggregate — only KB-sized states move.  State is bounded by |groups| x
+    |price domain|, never by the corpus.  Replaced a distributed
+    (flag, cents) groupby that shuffled one row per distinct pair
+    (6.9 s -> scan-bound at sf0.1)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    hist = ds.aggregate(_grouped_cent_hist("l_returnflag",
+                                           "l_extendedprice"))["ghist"]
     rows = []
     for flag in sorted(hist):
         vals, counts = hist[flag]
@@ -3326,6 +3335,162 @@ def q78_brand_rank(sf_dir: str) -> pd.DataFrame:
         ["p_type", "p_brand"]).reset_index(drop=True)
 
 
+def q79_bigram_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed word-BIGRAM counts (the n-gram LM / dataset-contamination
+    screening op): one Arrow-RE2 tokenize pass; adjacency is a vectorized
+    shifted compare on (parent_doc, token) — a pair survives iff both
+    positions share a doc — then per-block combine, groupby-sum, and the
+    q39 per-block local-top-k discipline (no global vocabulary sort)."""
+    K = 20
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64())})
+        same = parent[1:] == parent[:-1]
+        a, b = flat[:-1][same], flat[1:][same]
+        keep = (a != "") & (b != "")
+        bg = pd.Series(a[keep]) + " " + pd.Series(b[keep])
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "p_n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "bigram"], ascending=[False, True]).head(K),
+            preserve_index=False)
+
+    top = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["n", "bigram"], ascending=[False, True]).head(K)
+    top["n"] = top["n"].astype("int64")
+    return top[["bigram", "n"]].reset_index(drop=True)
+
+
+def q80_monthly_pct_change(sf_dir: str) -> pd.DataFrame:
+    """LAG-ratio window (month-over-month revenue ratio per segment): the
+    distributed monthly aggregate is exact integer cents; the ratio divides
+    those exact integers in the same IEEE order as the oracle, NULL on each
+    segment's first observed month (q36 discipline: the window runs on the
+    tiny segment x month frame)."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_pandas()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return (
+            pa.table({"segment": t["c_mktsegment"],
+                      "ano": pa.array(od.dt.year.to_numpy(np.int32)),
+                      "mes": pa.array(od.dt.month.to_numpy(np.int32)),
+                      "p_c": cents})
+            .group_by(["segment", "ano", "mes"])
+            .aggregate([("p_c", "sum")])
+            .rename_columns(["segment", "ano", "mes", "p_c"])
+        )
+
+    agg = (
+        attach_lookup(
+            _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+            cust, "o_custkey", "c_custkey",
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "ano", "mes"])
+        .aggregate(Sum("p_c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["segment", "ano", "mes"])
+        .reset_index(drop=True)
+    )
+    prev = agg.groupby("segment")["c"].shift(1)
+    agg["month_rev"] = (agg["c"] / 100.0).round(2)
+    agg["mom_ratio"] = np.floor(
+        agg["c"].astype("float64") * 10000.0 / prev.astype("float64") + 0.5
+    ) / 10000.0
+    return agg[["segment", "ano", "mes", "month_rev", "mom_ratio"]]
+
+
+def q81_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """5%-trimmed mean (robust statistics) computed EXACTLY from the
+    mergeable per-group cent histogram — no shuffle, no sort of the fact
+    table: the k = n//20 lowest and highest order statistics per group are
+    clipped by vectorized overlap arithmetic on the histogram's cumulative
+    counts, and the retained sum stays an exact integer."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    hist = ds.aggregate(_grouped_cent_hist("l_returnflag",
+                                           "l_extendedprice"))["ghist"]
+    rows = []
+    for flag in sorted(hist):
+        vals, counts = hist[flag]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        k = n // 20
+        # retained copies of each value = |(ce-m, ce] ∩ (k, n-k]|
+        lo = np.maximum(cum - counts, k)
+        hi = np.minimum(cum, n - k)
+        kept = np.maximum(hi - lo, 0)
+        total = int((vals * kept).sum())
+        cnt = int(kept.sum())
+        tm = np.floor(total / cnt / 100.0 * 10000.0 + 0.5) / 10000.0
+        rows.append({"l_returnflag": flag, "n_rows": n, "n_kept": cnt,
+                     "trimmed_mean": tm})
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_rows", "n_kept",
+                                       "trimmed_mean"])
+
+
+def q82_nation_account_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN shape (the one join type q01-q81 never exercised):
+    sparse per-nation counts of debit customers vs low-balance
+    suppliers, keys kept from EITHER side with zero fill.  Both sides
+    reduce distributed to dim-sized grids; the outer alignment runs on
+    those grids (never a fact-fact outer shuffle)."""
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"],
+                 filter=(pc.field("c_acctbal") < 0.0))
+    supp = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"],
+                 filter=(pc.field("s_acctbal") < 2000.0))
+
+    def side(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return (
+                pa.table({"nationkey": pc.cast(t[col], pa.int64()),
+                          "p_n": pa.array(np.ones(len(t), np.int64))})
+                .group_by("nationkey")
+                .aggregate([("p_n", "sum")])
+                .rename_columns(["nationkey", "p_n"])
+            )
+        return fn
+
+    def agg_side(ds, col, alias):
+        df = (ds.map_batches(side(col), batch_format="pyarrow")
+              .groupby("nationkey").aggregate(Sum("p_n", alias_name=alias))
+              .to_pandas())
+        if "nationkey" not in df.columns:  # side empty at this scale
+            df = pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                               alias: pd.Series([], dtype="int64")})
+        return df
+
+    c = agg_side(cust, "c_nationkey", "n_cust")
+    s = agg_side(supp, "s_nationkey", "n_supp")
+    out = c.merge(s, on="nationkey", how="outer")
+    out["n_cust"] = out["n_cust"].fillna(0).astype("int64")
+    out["n_supp"] = out["n_supp"].fillna(0).astype("int64")
+    out["both_sides"] = (out["n_cust"] > 0) & (out["n_supp"] > 0)
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4368,6 +4533,71 @@ ORACLE_SQL: dict[str, str] = {
         )
         ORDER BY 1, 2
     """,
+    "q79_bigram_counts": """
+        -- top-20 word bigrams (n-gram LM counts); pairs adjacent in the
+        -- SAME doc, empty edge tokens excluded pairwise
+        SELECT bigram, count(*) AS n FROM (
+            SELECT z[1] || ' ' || z[2] AS bigram FROM (
+                SELECT unnest(list_zip(w[:len(w) - 1], w[2:])) AS z
+                FROM (SELECT string_split_regex(lower(text), '[^a-z0-9]+')
+                          AS w
+                      FROM documents)
+            )
+            WHERE z[1] <> '' AND z[2] <> ''
+        )
+        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "q80_monthly_pct_change": """
+        -- month-over-month revenue ratio per segment (LAG over observed
+        -- months), exact-cents numerator/denominator, NULL first month
+        SELECT segment, ano, mes, round(c / 100.0, 2) AS month_rev,
+               floor(CAST(c AS DOUBLE) * 10000.0
+                     / CAST(lag(c) OVER w AS DOUBLE) + 0.5) / 10000.0
+                   AS mom_ratio
+        FROM (
+            SELECT c.c_mktsegment AS segment,
+                   year(o.o_orderdate) AS ano, month(o.o_orderdate) AS mes,
+                   sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS c
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2, 3
+        )
+        WINDOW w AS (PARTITION BY segment ORDER BY ano, mes)
+        ORDER BY segment, ano, mes
+    """,
+    "q81_trimmed_mean": """
+        -- 5%-trimmed mean: drop the n//20 lowest and highest order
+        -- statistics per group, exact-cents mean of the rest
+        WITH r AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+                       AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n_rows,
+               count(*) AS n_kept,
+               floor(CAST(sum(c) AS DOUBLE) / count(*) / 100.0 * 10000.0
+                     + 0.5) / 10000.0 AS trimmed_mean
+        FROM r
+        WHERE rn > n // 20 AND rn <= n - n // 20
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q82_nation_account_outer": """
+        -- FULL OUTER JOIN of sparse per-nation aggregates, zero-filled
+        SELECT coalesce(c.k, s.k) AS nationkey,
+               CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+               CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+               coalesce(n_cust, 0) > 0 AND coalesce(n_supp, 0) > 0
+                   AS both_sides
+        FROM (SELECT CAST(c_nationkey AS BIGINT) AS k, count(*) AS n_cust
+              FROM customer WHERE c_acctbal < 0.0 GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT CAST(s_nationkey AS BIGINT) AS k, count(*) AS n_supp
+              FROM supplier WHERE s_acctbal < 2000.0 GROUP BY 1) s
+        ON c.k = s.k
+        ORDER BY 1
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4466,4 +4696,8 @@ SQL_QUERIES = {
     "q76_funnel_steps": q76_funnel_steps,
     "q77_event_transitions": q77_event_transitions,
     "q78_brand_rank": q78_brand_rank,
+    "q79_bigram_counts": q79_bigram_counts,
+    "q80_monthly_pct_change": q80_monthly_pct_change,
+    "q81_trimmed_mean": q81_trimmed_mean,
+    "q82_nation_account_outer": q82_nation_account_outer,
 }
