@@ -458,6 +458,49 @@ def _semi_join_batch(
     return batch.filter(pa.array(hit))
 
 
+class ConstraintViolation(RuntimeError):
+    """A write batch failed a table CHECK constraint."""
+
+
+def _check_constraint_batch(t: pa.Table, terms: list) -> None:
+    """Vectorized CHECK validation of one Arrow batch; raises
+    :class:`ConstraintViolation` with the failing term and row count.
+    Runs INSIDE each write task (streaming, fail-fast, zero extra pass)."""
+    for term in terms:
+        col, op, val = term[0], term[1], term[2] if len(term) > 2 else None
+        if col not in t.column_names:
+            raise ConstraintViolation(
+                f"constraint column {col!r} absent from write batch")
+        arr = t[col]
+        if op == "not-null":
+            bad = pc.is_null(arr)
+        else:
+            if op == "==":
+                ok = pc.equal(arr, val)
+            elif op == "!=":
+                ok = pc.not_equal(arr, val)
+            elif op == "<":
+                ok = pc.less(arr, val)
+            elif op == "<=":
+                ok = pc.less_equal(arr, val)
+            elif op == ">":
+                ok = pc.greater(arr, val)
+            elif op == ">=":
+                ok = pc.greater_equal(arr, val)
+            elif op == "in":
+                ok = pc.is_in(arr, pa.array(list(val)))
+            else:
+                raise ValueError(f"unknown constraint op {op!r}")
+            # NULL comparisons are not satisfied: a constraint asserts the
+            # predicate HOLDS, so null -> violation (add an explicit
+            # not-null term semantics, DuckDB-CHECK-unlike but write-safe)
+            bad = pc.or_kleene(pc.invert(ok), pc.is_null(arr))
+        n_bad = int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)
+        if n_bad:
+            raise ConstraintViolation(
+                f"constraint {col} {op} {val!r} violated by {n_bad} row(s)")
+
+
 class LakeTable:
     def __init__(self, root: str):
         self.root = root
@@ -507,6 +550,43 @@ class LakeTable:
     @property
     def bloom_cols(self) -> tuple[str, ...]:
         return tuple(self.config.get("bloom_cols", ()))
+
+    @property
+    def constraints(self) -> list:
+        return list(self.config.get("constraints", []))
+
+    def set_constraints(self, terms: list) -> None:
+        """CHECK constraints (Delta-style expectations): ``(col, op[, val])``
+        terms with op in ``== != < <= > >= in not-null``.  Enforced
+        vectorized INSIDE every ingress write task (append / overwrite /
+        stage_append / merge update side) — fail-fast while streaming, no
+        extra validation pass; a failed write aborts before its snapshot
+        commits, so readers never see a violating row.  Maintenance rewrites
+        (compact/zorder/delete) are exempt: they move rows that already
+        passed.  NULL fails every comparison term (a CHECK asserts the
+        predicate HOLDS — use ``not-null`` explicitly where nulls matter)."""
+        for term in terms:  # validate ops eagerly, not at first write
+            if term[1] not in ("==", "!=", "<", "<=", ">", ">=", "in",
+                               "not-null"):
+                raise ValueError(f"unknown constraint op {term[1]!r}")
+        self.config["constraints"] = [list(t) for t in terms]
+        with open(os.path.join(self.root, "table.json"), "w") as f:
+            json.dump(self.config, f)
+
+    def _constrained(self, data):
+        """Wrap ingress data with the in-stream CHECK validator."""
+        terms = self.constraints
+        if not terms:
+            return data
+        if isinstance(data, pd.DataFrame):
+            data = pa.Table.from_pandas(data, preserve_index=False)
+        if isinstance(data, pa.Table):
+            _check_constraint_batch(data, terms)
+            return data
+        return data.map_batches(
+            lambda t, _terms=terms: (_check_constraint_batch(t, _terms), t)[1],
+            batch_format="pyarrow",
+        )
 
     def abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
@@ -652,6 +732,7 @@ class LakeTable:
         operation: str = "append",
         max_rows_per_file: int | None = None,
     ) -> Snapshot:
+        data = self._constrained(data)
         schema = self._data_schema(data) if self.partition_cols else None
         added = self._write_dataset(data, max_rows_per_file=max_rows_per_file)
         if self._evolution() is not None:
@@ -688,6 +769,7 @@ class LakeTable:
         max_rows_per_file: int | None = None,
         min_rows_per_file: int | None = None,
     ) -> Snapshot:
+        data = self._constrained(data)
         schema = self._data_schema(data) if self.partition_cols else None
         added = self._write_dataset(
             data, max_rows_per_file=max_rows_per_file,
@@ -1808,6 +1890,7 @@ class LakeTable:
         :meth:`drop_staged`.  Generalizes the reference's audit-free direct
         overwrite (``silver_digit_clean.py:127``) where bad loads hit
         consumers instantly."""
+        data = self._constrained(data)
         schema = self._data_schema(data) if self.partition_cols else None
         added = self._write_dataset(data)
         if self._evolution() is not None:
@@ -2055,6 +2138,11 @@ class LakeTable:
                    if sch is None or sch.get_field_index(c) < 0]
         if missing:
             raise KeyError(f"SET column(s) not in schema: {sorted(missing)}")
+        touched = [t for t in self.constraints if t[0] in set_values]
+        if touched:  # SET constants are checkable before any IO
+            _check_constraint_batch(
+                pa.table({c: pa.array([v]) for c, v in set_values.items()
+                          if any(t[0] == c for t in touched)}), touched)
         self._materialize_if_pending(run_ts)
         affected = prune_files(self.files(), predicate)
         if not affected:
@@ -2196,6 +2284,7 @@ class LakeTable:
         # stale broadcast profile never misattributes; broadcast plan fills it
         phases: dict[str, float] = {}
         self.last_op_timings = phases
+        updates = self._constrained(updates)  # CHECK terms gate the update side
         if isinstance(updates, pa.Table):
             n_raw = updates.num_rows  # known — skip a full count() pass
             updates = ray.data.from_arrow(updates)
