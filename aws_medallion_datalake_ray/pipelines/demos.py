@@ -378,6 +378,35 @@ def demo_branch_workflow(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def demo_constraint_gate(sf_dir: str) -> pd.DataFrame:
+    """CHECK constraints (expectations): a violating load fails IN-STREAM
+    before its snapshot commits — readers never see a bad row, the
+    fail-fast counterpart of WAP's audit-then-publish.  The reference has
+    no gate at all (bad loads land directly, silver_digit_clean.py:127)."""
+    from aws_medallion_datalake_ray.state.table import ConstraintViolation
+
+    t, base = _fresh_table(sf_dir, "constraints")
+    t.set_constraints([("repo", "not-null"), ("content", "not-null")])
+    n0, head0 = t.scan().count(), t.store.head_id()
+
+    bad = base.slice(0, 200).set_column(
+        0, "repo", pa.array([None] * 200, pa.string()))
+    try:
+        t.append(bad, run_ts="2024-01-02T00:00:00")
+        refused = False
+    except ConstraintViolation:
+        refused = True
+    head_frozen = t.store.head_id() == head0 and t.scan().count() == n0
+
+    t.append(base.slice(0, 100), run_ts="2024-01-02T00:00:01")  # clean load
+    return pd.DataFrame([{
+        "bad_load_refused": refused,
+        "no_snapshot_committed": head_frozen,
+        "clean_load_rows_after": t.scan().count(),
+        "constraints_active": len(t.constraints),
+    }])
+
+
 def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
     sketch state is a constant 4 KiB per block regardless of cardinality
@@ -846,6 +875,7 @@ DEMO_QUERIES = {
     "m08_incremental_view": demo_incremental_view,
     "m09_write_audit_publish": demo_write_audit_publish,
     "m10_branch_workflow": demo_branch_workflow,
+    "m11_constraint_gate": demo_constraint_gate,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,

@@ -3491,6 +3491,84 @@ def q82_nation_account_outer(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("nationkey").reset_index(drop=True)
 
 
+def q83_pareto_customers(sf_dir: str) -> pd.DataFrame:
+    """Pareto cut — the minimum number of top customers covering 80% of
+    revenue — solved as DISTRIBUTED ORDER STATISTICS with no global sort:
+    (1) per-customer exact-cent revenue (one grouped reduction); (2) a
+    coarse revenue-band histogram (tiny) locates the crossing band from its
+    descending cumulative; (3) only THAT band's customers (one band's
+    population, not the table) resolve the exact rank driver-side.  The
+    80% test runs in integers (``cum*5 >= tot*4``) so no float threshold
+    can flip.  Oracle: full window-ranked recomputation."""
+    BAND = 1_000_000  # cents per histogram band ($10k)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return (
+            pa.table({"o_custkey": t["o_custkey"], "p_c": cents})
+            .group_by("o_custkey")
+            .aggregate([("p_c", "sum")])
+            .rename_columns(["o_custkey", "p_c"])
+        )
+
+    cr = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_c", alias_name="c"))
+        .materialize()  # reused: totals, histogram, crossing-band refine
+    )
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return (
+            pa.table({"band": c // BAND, "p_n": np.ones(len(t), np.int64),
+                      "p_c": c})
+            .group_by("band")
+            .aggregate([("p_n", "sum"), ("p_c", "sum")])
+            .rename_columns(["band", "p_n", "p_c"])
+        )
+
+    hist = (
+        cr.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("band").aggregate(Sum("p_n", alias_name="n"),
+                                   Sum("p_c", alias_name="s"))
+        .to_pandas().sort_values("band", ascending=False).reset_index(drop=True)
+    )
+    if hist.empty:
+        return pd.DataFrame([{"n_top_customers": 0, "n_customers": 0,
+                              "total_rev": 0.0}])
+    tot = int(hist["s"].sum())
+    n_cust = int(hist["n"].sum())
+    cum_above = 0
+    count_above = 0
+    cross_band = None
+    for _, row in hist.iterrows():
+        if (cum_above + int(row["s"])) * 5 >= tot * 4:
+            cross_band = int(row["band"])
+            break
+        cum_above += int(row["s"])
+        count_above += int(row["n"])
+    # exact resolution INSIDE the crossing band only
+    in_band = (cr.filter(expr=f"c >= {cross_band * BAND} and "
+                              f"c < {(cross_band + 1) * BAND}")
+               .to_pandas()
+               .sort_values(["c", "o_custkey"], ascending=[False, True]))
+    k = count_above
+    cum = cum_above
+    for c in in_band["c"]:
+        k += 1
+        cum += int(c)
+        if cum * 5 >= tot * 4:
+            break
+    return pd.DataFrame([{
+        "n_top_customers": k,
+        "n_customers": n_cust,
+        "total_rev": round(tot / 100.0, 2),
+    }])
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4598,6 +4676,25 @@ ORACLE_SQL: dict[str, str] = {
         ON c.k = s.k
         ORDER BY 1
     """,
+    "q83_pareto_customers": """
+        -- minimum top-customer count covering 80% of revenue (integer
+        -- threshold: cum*5 >= tot*4), ties broken by custkey
+        WITH cr AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+            FROM orders GROUP BY 1
+        ), tot AS (SELECT sum(c) AS t, count(*) AS nc FROM cr),
+        r AS (
+            SELECT c,
+                   sum(c) OVER (ORDER BY c DESC, o_custkey) AS cum,
+                   row_number() OVER (ORDER BY c DESC, o_custkey) AS rn
+            FROM cr
+        )
+        SELECT CAST(min(rn) AS BIGINT) AS n_top_customers,
+               CAST(min(nc) AS BIGINT) AS n_customers,
+               round(min(t) / 100.0, 2) AS total_rev
+        FROM r, tot WHERE cum * 5 >= t * 4
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4700,4 +4797,5 @@ SQL_QUERIES = {
     "q80_monthly_pct_change": q80_monthly_pct_change,
     "q81_trimmed_mean": q81_trimmed_mean,
     "q82_nation_account_outer": q82_nation_account_outer,
+    "q83_pareto_customers": q83_pareto_customers,
 }
