@@ -407,6 +407,47 @@ def demo_constraint_gate(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def demo_table_metadata(sf_dir: str) -> pd.DataFrame:
+    """DESCRIBE TABLE EXTENDED from the manifest alone — ZERO data IO (the
+    Iceberg metadata-tables surface: files / snapshots / refs / history):
+    file-size distribution, per-partition file counts and skew, snapshot
+    operations, live branch/tag refs.  At a 10^12-file table this is an
+    O(manifest) read, which is why every maintenance decision (compact
+    trigger, autopilot, pruning estimates) keys off it."""
+    base = _demo_base(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"amdl-demo-meta-{len(base)}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(root, partition_cols=("lang",))
+    for i in range(0, len(base), 1000):
+        t.append(base.slice(i, 1000), run_ts=_TS)
+    t.compact(target_file_bytes=4 << 20, run_ts=_TS)
+    t.tag_snapshot("v1")
+    t.create_branch("dev")
+
+    files = t.files()
+    sizes = np.asarray([f.bytes for f in files], dtype=np.int64)
+    per_part: dict[str, int] = {}
+    for f in files:
+        key = f.partition.get("lang", "<unpartitioned>")
+        per_part[key] = per_part.get(key, 0) + 1
+    counts = np.asarray(list(per_part.values()), dtype=np.int64)
+    snaps = t.store.snapshots()
+    return pd.DataFrame([{
+        "n_files": len(files),
+        "n_rows": int(sum(f.rows for f in files)),
+        "bytes_total": int(sizes.sum()),
+        "file_bytes_p50": int(np.percentile(sizes, 50)),
+        "file_bytes_max": int(sizes.max()),
+        "n_partitions": len(per_part),
+        "partition_file_skew": round(float(counts.max() / counts.mean()), 2),
+        "n_snapshots": len(snaps),
+        "operations": ",".join(sorted({s.operation for s in snaps})),
+        "n_tags": len(t.tags()),
+        "n_branches": len(t.branches()),
+        "stats_cols": len(t.stats_cols),
+    }])
+
+
 def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
     sketch state is a constant 4 KiB per block regardless of cardinality
@@ -876,6 +917,7 @@ DEMO_QUERIES = {
     "m09_write_audit_publish": demo_write_audit_publish,
     "m10_branch_workflow": demo_branch_workflow,
     "m11_constraint_gate": demo_constraint_gate,
+    "m12_table_metadata": demo_table_metadata,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,

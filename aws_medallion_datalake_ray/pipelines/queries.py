@@ -3569,6 +3569,52 @@ def q83_pareto_customers(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q84_running_distinct_customers(sf_dir: str) -> pd.DataFrame:
+    """Cumulative DISTINCT count over time (the user-growth curve) — the
+    windowed COUNT(DISTINCT) engines refuse — decomposed exactly: running
+    distinct = cumulative sum of FIRST APPEARANCES.  Per-customer min
+    month is one grouped reduction, first-appearance counts per month a
+    second (tiny), and the cumsum runs on the calendar-bounded frame
+    (q36 discipline).  No month ever rescans earlier months."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"o_custkey": t["o_custkey"],
+                      "m": pc.floor_temporal(t["o_orderdate"], unit="month")})
+            .group_by("o_custkey")
+            .aggregate([("m", "min")])
+            .rename_columns(["o_custkey", "m"])
+        )
+
+    firsts = (
+        orders.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Min("m", alias_name="first_month"))
+    )
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"month": t["first_month"],
+                      "p_n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("month")
+            .aggregate([("p_n", "sum")])
+            .rename_columns(["month", "p_n"])
+        )
+
+    out = (
+        firsts.map_batches(month_partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("p_n", alias_name="new_customers"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    out["new_customers"] = out["new_customers"].astype("int64")
+    out["cum_distinct_customers"] = out["new_customers"].cumsum()
+    return out[["month", "new_customers", "cum_distinct_customers"]]
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4695,6 +4741,24 @@ ORACLE_SQL: dict[str, str] = {
                round(min(t) / 100.0, 2) AS total_rev
         FROM r, tot WHERE cum * 5 >= t * 4
     """,
+    "q84_running_distinct_customers": """
+        -- running COUNT(DISTINCT) via first-appearance decomposition: the
+        -- oracle recomputes with a NATIVE windowed distinct-count path
+        -- (count distinct customers with first order <= month), proving
+        -- the decomposition, not mirroring it
+        WITH fm AS (
+            SELECT o_custkey,
+                   CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+                       AS first_month
+            FROM orders GROUP BY 1
+        ), months AS (SELECT DISTINCT first_month AS month FROM fm)
+        SELECT m.month,
+               (SELECT count(*) FROM fm WHERE fm.first_month = m.month)
+                   AS new_customers,
+               (SELECT count(*) FROM fm WHERE fm.first_month <= m.month)
+                   AS cum_distinct_customers
+        FROM months m ORDER BY m.month
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4798,4 +4862,5 @@ SQL_QUERIES = {
     "q81_trimmed_mean": q81_trimmed_mean,
     "q82_nation_account_outer": q82_nation_account_outer,
     "q83_pareto_customers": q83_pareto_customers,
+    "q84_running_distinct_customers": q84_running_distinct_customers,
 }
