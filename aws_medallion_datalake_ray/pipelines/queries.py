@@ -3615,6 +3615,43 @@ def q84_running_distinct_customers(sf_dir: str) -> pd.DataFrame:
     return out[["month", "new_customers", "cum_distinct_customers"]]
 
 
+def q85_preceding_hour_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-ROW interval-frame window (COUNT OVER RANGE 1 HOUR PRECEDING —
+    burst/rate detection): rows hash-partition on user for co-location,
+    each partition sorts once, and every user's frame counts resolve as
+    two vectorized ``searchsorted`` passes over that user's sorted
+    timestamps ([ts-1h, ts] inclusive, matching RANGE-frame peer
+    semantics).  Row-frame q71 and band-join q33 cover the other two
+    window families; this is the third."""
+    from aws_medallion_datalake_ray.functions.dedup import _add_part, _PART
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    hour = np.timedelta64(3600, "s")
+
+    def frame_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        out = np.empty(len(df), dtype=np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]")
+        uids = df["user_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1], True])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = ts[a:b]
+            left = np.searchsorted(seg, seg - hour, side="left")
+            right = np.searchsorted(seg, seg, side="right")
+            out[a:b] = right - left
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"], "ts": df["ts"],
+                             "n_last_hour": out})
+
+    out = (
+        ev.map_batches(_add_part(("user_id",), 32), batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(frame_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4759,6 +4796,15 @@ ORACLE_SQL: dict[str, str] = {
                    AS cum_distinct_customers
         FROM months m ORDER BY m.month
     """,
+    "q85_preceding_hour_counts": """
+        -- per-row interval frame: events of the same user in [ts-1h, ts]
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_last_hour
+        FROM events ORDER BY event_id
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4863,4 +4909,5 @@ SQL_QUERIES = {
     "q82_nation_account_outer": q82_nation_account_outer,
     "q83_pareto_customers": q83_pareto_customers,
     "q84_running_distinct_customers": q84_running_distinct_customers,
+    "q85_preceding_hour_counts": q85_preceding_hour_counts,
 }
