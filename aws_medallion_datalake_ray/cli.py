@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-id", type=int, default=None)
     p.add_argument("--drop", action="store_true")
 
+    p = add("set-constraints")
+    p.add_argument("--table", required=True)
+    p.add_argument("--term", action="append", default=[],
+                   help="col:op[:value] CHECK term (repeatable); op in "
+                        "==,!=,<,<=,>,>=,in,not-null; in takes a comma list. "
+                        "No terms clears all constraints")
+
     p = add("branch")
     p.add_argument("--table", required=True)
     p.add_argument("--name", default=None, help="omit to list branches")
@@ -200,6 +207,27 @@ def main(argv: list[str] | None = None) -> int:
             elif args.name:
                 t.tag_snapshot(args.name, args.snapshot_id)
             out["tags"] = t.tags()
+        elif args.cmd == "set-constraints":
+            t = _table(args.table)
+            terms = []
+            for raw in args.term:
+                parts = raw.split(":", 2)
+                if len(parts) == 2:
+                    terms.append([parts[0], parts[1]])
+                else:
+                    col, op, val = parts
+                    if op == "in":
+                        terms.append([col, op, val.split(",")])
+                    else:
+                        for cast in (int, float):
+                            try:
+                                val = cast(val)
+                                break
+                            except ValueError:
+                                pass
+                        terms.append([col, op, val])
+            t.set_constraints(terms)
+            out["constraints"] = t.constraints
         elif args.cmd == "branch":
             t = _table(args.table)
             if args.name and args.drop:

@@ -118,3 +118,37 @@ def test_branch_at_historic_snapshot_time_travels_writes(table):
     br.append(make_source_files(1, seed=99), run_ts=TS2)
     assert br.scan().count() == 201
     assert table.scan().count() == 240
+
+
+def test_concurrent_branch_and_main_commits_serialize(table):
+    """Branch and main writers share ONE commit lock: interleaved commits
+    from two threads never lose an update on either ref."""
+    import threading
+
+    table.create_branch("race")
+    br = table.branch("race")
+    errs = []
+
+    def main_writer():
+        try:
+            for i in range(5):
+                table.append(make_source_files(20, seed=100 + i), run_ts=TS2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def branch_writer():
+        try:
+            for i in range(5):
+                br.append(make_source_files(20, seed=200 + i), run_ts=TS2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=main_writer),
+          threading.Thread(target=branch_writer)]
+    [t.start() for t in th]
+    [t.join() for t in th]
+    assert not errs
+    assert table.scan().count() == 300   # 200 + 5x20
+    assert br.scan().count() == 300      # 200 + 5x20
+    # both chains are intact ancestries of their refs
+    assert table.store.head_id() != br.store.head_id()
