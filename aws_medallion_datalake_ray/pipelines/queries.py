@@ -3652,6 +3652,74 @@ def q85_preceding_hour_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q86_decontamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/PaLM screening op): flag every
+    training doc sharing an 8-word shingle with the held-out eval split
+    (doc_id % 10 == 0 — the deterministic split both engines express).
+    One tokenize pass explodes per-doc DISTINCT shingles (a doc is one
+    row, so its shingles never span blocks); the eval side's distinct
+    shingle set — benchmark-sized by definition — broadcasts once, and
+    the train side streams a hash-set membership count per doc.  Oracle:
+    DuckDB list_zip 8-way self-join."""
+    K = 8
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < K:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ev": pa.array([], pa.int8()),
+                             "t": pa.array([], pa.string())})
+        m = n - K + 1
+        ok = parent[K - 1:] == parent[:m]  # window stays inside one doc
+        nonempty = flat != ""
+        for i in range(K):
+            ok = ok & nonempty[i:m + i]
+        sh = flat[:m][ok]
+        for i in range(1, K):
+            sh = sh + " "
+            sh = sh + flat[i:m + i][ok]
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent[:m][ok]]
+        df = pd.DataFrame({"doc_id": doc, "t": sh}).drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "ev": pa.array((df["doc_id"].to_numpy(np.int64) % 10 == 0)
+                           .astype(np.int8)),
+            "t": pa.array(df["t"], pa.string()),
+        })
+
+    sh = ds.map_batches(shingles, batch_format="pyarrow").materialize()
+    eval_set = set(
+        sh.filter(expr="ev == 1").select_columns(["t"]).to_pandas()["t"])
+    ev_ref = ray.put(eval_set)
+
+    def hit_partial(t: pa.Table, ref=ev_ref) -> pa.Table:
+        es = ray.get(ref)
+        hits = pd.Series(t["t"].to_pandas()).isin(es)
+        d = pa.table({"doc_id": t["doc_id"],
+                      "p_n": pc.cast(pa.array(hits.to_numpy()), pa.int64())})
+        return (d.group_by("doc_id").aggregate([("p_n", "sum")])
+                .rename_columns(["doc_id", "p_n"]))
+
+    out = (
+        sh.filter(expr="ev == 0")
+        .map_batches(hit_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("p_n", alias_name="n_shared"))
+        .filter(expr="n_shared > 0")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_shared": pd.Series([], dtype="int64")})
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out[["doc_id", "n_shared"]].sort_values("doc_id").reset_index(
+        drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4805,6 +4873,23 @@ ORACLE_SQL: dict[str, str] = {
                    AS BIGINT) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "q86_decontamination": """
+        -- training docs sharing an 8-word shingle with the eval split
+        -- (doc_id % 10 = 0); DISTINCT shingles per doc
+        WITH tok AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9]+') AS w
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, z[1] || ' ' || z[2] || ' ' || z[3] || ' ' || z[4] || ' ' || z[5] || ' ' || z[6] || ' ' || z[7] || ' ' || z[8] AS t
+            FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-7], w[2:len(w)-6], w[3:len(w)-5], w[4:len(w)-4], w[5:len(w)-3], w[6:len(w)-2], w[7:len(w)-1], w[8:len(w)-0])) AS z FROM tok)
+            WHERE z[1] IS NOT NULL AND z[1] <> '' AND z[2] IS NOT NULL AND z[2] <> '' AND z[3] IS NOT NULL AND z[3] <> '' AND z[4] IS NOT NULL AND z[4] <> '' AND z[5] IS NOT NULL AND z[5] <> '' AND z[6] IS NOT NULL AND z[6] <> '' AND z[7] IS NOT NULL AND z[7] <> '' AND z[8] IS NOT NULL AND z[8] <> ''
+        ), ev AS (SELECT DISTINCT t FROM tri WHERE doc_id % 10 = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tri JOIN ev USING (t)
+        WHERE doc_id % 10 <> 0
+        GROUP BY 1 ORDER BY 1
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4910,4 +4995,5 @@ SQL_QUERIES = {
     "q83_pareto_customers": q83_pareto_customers,
     "q84_running_distinct_customers": q84_running_distinct_customers,
     "q85_preceding_hour_counts": q85_preceding_hour_counts,
+    "q86_decontamination": q86_decontamination,
 }
