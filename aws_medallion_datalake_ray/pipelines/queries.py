@@ -3720,6 +3720,31 @@ def q86_decontamination(sf_dir: str) -> pd.DataFrame:
         drop=True)
 
 
+def q87_stopword_scrub(sf_dir: str) -> pd.DataFrame:
+    """Corpus text NORMALIZATION under the value-hash gate: lowercase →
+    remove standalone stopwords → collapse runs of spaces → trim, with the
+    REWRITTEN STRINGS themselves hashed against the oracle — i.e. the
+    Arrow RE2 rewrite kernels (`replace_substring_regex`) are proven
+    byte-equal to DuckDB's `regexp_replace(..., 'g')` on every doc, not
+    just summary stats.  Embarrassingly parallel, zero shuffle, the
+    cleaning pass every training corpus runs before tokenization."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"\b(the|a|of|and)\b", "")
+        s = pc.replace_substring_regex(s, " +", " ")
+        s = pc.utf8_trim(s, " ")
+        return pa.table({"doc_id": t["doc_id"], "clean": s,
+                         "n_chars_before": t["n_chars"],
+                         "n_chars_after": pc.cast(pc.utf8_length(s),
+                                                  pa.int64())})
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "clean", "n_chars_before",
+                "n_chars_after"]].sort_values("doc_id").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4890,6 +4915,18 @@ ORACLE_SQL: dict[str, str] = {
         WHERE doc_id % 10 <> 0
         GROUP BY 1 ORDER BY 1
     """,
+    "q87_stopword_scrub": """
+        -- rewritten text value-hashed directly: Arrow RE2 == DuckDB RE2
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '\\b(the|a|of|and)\\b', '', 'g'), ' +', ' ', 'g'))
+                   AS clean,
+               n_chars AS n_chars_before,
+               CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                    '\\b(the|a|of|and)\\b', '', 'g'), ' +', ' ', 'g')))
+                   AS BIGINT) AS n_chars_after
+        FROM documents ORDER BY doc_id
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -4996,4 +5033,5 @@ SQL_QUERIES = {
     "q84_running_distinct_customers": q84_running_distinct_customers,
     "q85_preceding_hour_counts": q85_preceding_hour_counts,
     "q86_decontamination": q86_decontamination,
+    "q87_stopword_scrub": q87_stopword_scrub,
 }
