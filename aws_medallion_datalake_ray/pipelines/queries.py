@@ -3745,6 +3745,42 @@ def q87_stopword_scrub(sf_dir: str) -> pd.DataFrame:
                 "n_chars_after"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q88_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier detection (median / MAD / |x - med| > 3·MAD) — THREE
+    order-statistic passes from ONE mergeable cent histogram: the median
+    reads off the cumulative, the absolute-deviation histogram is derived
+    driver-side by folding the value axis around the median (counts merge
+    where |v-med| collides), and the outlier count is a masked sum — the
+    fact table is scanned exactly once, exact integers throughout."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    hist = ds.aggregate(_grouped_cent_hist("l_returnflag",
+                                           "l_extendedprice"))["ghist"]
+
+    def disc_quantile(vals: np.ndarray, counts: np.ndarray, q: float) -> int:
+        cum = np.cumsum(counts)
+        k = int(np.ceil(q * cum[-1]))  # q38's quantile_disc convention
+        return int(vals[int(np.searchsorted(cum, k))])
+
+    rows = []
+    for flag in sorted(hist):
+        vals, counts = hist[flag]
+        vals = np.asarray(vals, dtype=np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
+        med = disc_quantile(vals, counts, 0.5)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dv, dc = dev[order], counts[order]
+        # fold: collapse colliding |v-med| values
+        uniq, start = np.unique(dv, return_index=True)
+        sums = np.add.reduceat(dc, start)
+        mad = disc_quantile(uniq, sums, 0.5)
+        n_out = int(counts[np.abs(vals - med) > 3 * mad].sum())
+        rows.append({"l_returnflag": flag, "median": med / 100.0,
+                     "mad": mad / 100.0, "n_outliers": n_out})
+    return pd.DataFrame(rows, columns=["l_returnflag", "median", "mad",
+                                       "n_outliers"])
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4927,6 +4963,30 @@ ORACLE_SQL: dict[str, str] = {
                    AS BIGINT) AS n_chars_after
         FROM documents ORDER BY doc_id
     """,
+    "q88_mad_outliers": """
+        -- median / MAD / 3-MAD outlier count in exact integer cents
+        WITH v AS (
+            SELECT l_returnflag AS f,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+            FROM lineitem
+        ), med AS (
+            SELECT f, CAST(quantile_disc(c, 0.5) AS BIGINT) AS m
+            FROM v GROUP BY 1
+        ), dev AS (
+            SELECT v.f, v.c, med.m, abs(v.c - med.m) AS d
+            FROM v JOIN med ON v.f = med.f
+        ), mad AS (
+            SELECT f, CAST(quantile_disc(d, 0.5) AS BIGINT) AS md
+            FROM dev GROUP BY 1
+        )
+        SELECT dev.f AS l_returnflag,
+               round(min(dev.m) / 100.0, 2) AS median,
+               round(min(mad.md) / 100.0, 2) AS mad,
+               CAST(sum(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.f = mad.f
+        GROUP BY 1 ORDER BY 1
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -5034,4 +5094,5 @@ SQL_QUERIES = {
     "q85_preceding_hour_counts": q85_preceding_hour_counts,
     "q86_decontamination": q86_decontamination,
     "q87_stopword_scrub": q87_stopword_scrub,
+    "q88_mad_outliers": q88_mad_outliers,
 }
