@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-id", type=int, default=None)
     p.add_argument("--drop", action="store_true")
 
+    p = add("schedule")
+    p.add_argument("--cron", required=True,
+                   help="5-field cron or EventBridge cron(...) expression")
+    p.add_argument("--now", required=True, help="ISO timestamp of this tick")
+    p.add_argument("--last-run", default=None,
+                   help="ISO timestamp of the last successful run")
+
     p = add("set-constraints")
     p.add_argument("--table", required=True)
     p.add_argument("--term", action="append", default=[],
@@ -207,6 +214,15 @@ def main(argv: list[str] | None = None) -> int:
             elif args.name:
                 t.tag_snapshot(args.name, args.snapshot_id)
             out["tags"] = t.tags()
+        elif args.cmd == "schedule":
+            import datetime as _dt
+
+            from aws_medallion_datalake_ray.state.schedule import due, next_fire
+            now = _dt.datetime.fromisoformat(args.now)
+            last = (_dt.datetime.fromisoformat(args.last_run)
+                    if args.last_run else None)
+            out["due"] = due(args.cron, last, now)
+            out["next_fire"] = next_fire(args.cron, now).isoformat()
         elif args.cmd == "set-constraints":
             t = _table(args.table)
             terms = []
