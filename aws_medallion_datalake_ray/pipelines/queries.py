@@ -3781,6 +3781,104 @@ def q88_mad_outliers(sf_dir: str) -> pd.DataFrame:
                                        "n_outliers"])
 
 
+def _pairwise_levenshtein(a: np.ndarray, la: np.ndarray,
+                          b: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Edit distance for N pairs at once: classic DP with the PAIR axis
+    vectorized — the i/j loops run over the (short) max name length, every
+    cell update is an N-wide numpy op.  ``a``/``b`` are (N, L) uint8
+    padded byte matrices, ``la``/``lb`` the true lengths."""
+    n, L = a.shape
+    res = np.empty(n, dtype=np.int64)
+    dp = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))  # row i=0
+    done = la == 0
+    res[done] = lb[done]
+    for i in range(1, L + 1):
+        new = np.empty_like(dp)
+        new[:, 0] = i
+        ai = a[:, i - 1][:, None]  # (n,1)
+        sub = dp[:, :-1] + (ai != b).astype(np.int64)
+        for j in range(1, L + 1):
+            new[:, j] = np.minimum(np.minimum(dp[:, j] + 1, new[:, j - 1] + 1),
+                                   sub[:, j - 1])
+        dp = new
+        hit = la == i
+        if hit.any():
+            res[hit] = dp[hit, lb[hit]]
+    return res
+
+
+def q89_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy entity matching (edit-distance ≤ 1 name pairs over a bounded
+    entity slice — the entity-resolution blocking pattern): d≤1 implies |len(a)-len(b)|≤1,
+    so every name fans out to length buckets {len, len+1}, pairs resolve in
+    bucket max(len_a, len_b) exactly once, and each bucket's candidates run
+    through ONE pair-vectorized Levenshtein DP — no O(n²) over the corpus,
+    no Python-per-pair loop.  Oracle: DuckDB levenshtein self-join."""
+    from aws_medallion_datalake_ray.functions.dedup import _PART
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"],
+                 filter=(pc.field("p_partkey") < 500))
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        names = t["p_name"].to_pandas()
+        ln = names.str.len().to_numpy(np.int64)
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": np.concatenate([keys, keys]),
+            "p_name": pa.array(pd.concat([names, names], ignore_index=True)),
+            "ln": np.concatenate([ln, ln]),
+            _PART: np.concatenate([ln, ln + 1]),
+        })
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df[_PART].iloc[0])
+        df = df.drop_duplicates("p_partkey").sort_values("p_partkey")
+        names = df["p_name"].to_numpy(dtype=object)
+        ln = df["ln"].to_numpy(np.int64)
+        keys = df["p_partkey"].to_numpy(np.int64)
+        n = len(df)
+        empty = pd.DataFrame({
+            "key_a": pd.Series([], dtype="int64"),
+            "key_b": pd.Series([], dtype="int64"),
+            "name_a": pd.Series([], dtype=object),
+            "name_b": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype="int64")})
+        if n < 2:
+            return empty
+        ia, ib = np.triu_indices(n, k=1)
+        # pair resolves HERE iff max(len) == bucket and |len diff| <= 1
+        keep = (np.maximum(ln[ia], ln[ib]) == bucket) & \
+            (np.abs(ln[ia] - ln[ib]) <= 1)
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        L = int(ln.max())
+        mat = np.zeros((n, L), dtype=np.uint8)
+        for k, s in enumerate(names):
+            bs = s.encode()
+            mat[k, :len(bs)] = np.frombuffer(bs, np.uint8)
+        d = _pairwise_levenshtein(mat[ia], ln[ia], mat[ib], ln[ib])
+        ok = d <= 1
+        return pd.DataFrame({"key_a": keys[ia[ok]], "key_b": keys[ib[ok]],
+                             "name_a": names[ia[ok]], "name_b": names[ib[ok]],
+                             "dist": d[ok]})
+
+    out = (
+        part.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64" if c in
+                             ("key_a", "key_b", "dist") else object)
+                             for c in ("key_a", "key_b", "name_a", "name_b",
+                                       "dist")})
+    for c in ("key_a", "key_b", "dist"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -4987,6 +5085,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM dev JOIN mad ON dev.f = mad.f
         GROUP BY 1 ORDER BY 1
     """,
+    "q89_fuzzy_name_pairs": """
+        -- entity resolution: edit-distance<=1 part-name pairs
+        WITH p AS (
+            SELECT p_partkey, p_name FROM part WHERE p_partkey < 500
+        )
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+        ORDER BY key_a, key_b
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -5095,4 +5205,5 @@ SQL_QUERIES = {
     "q86_decontamination": q86_decontamination,
     "q87_stopword_scrub": q87_stopword_scrub,
     "q88_mad_outliers": q88_mad_outliers,
+    "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
 }
