@@ -528,6 +528,14 @@ class ManifestStore:
             branch_chain = self._chain_of(sid)
             keep |= branch_chain
             chain |= branch_chain
+        # HEAD is itself a ref: when expire runs through a BRANCH handle,
+        # main's chain must survive in full (keep_last applies only to the
+        # ref being expired; retiring main history is main's own call)
+        main_id = ManifestStore.head_id(self)
+        if main_id is not None and main_id != self.head_id():
+            main_chain = self._chain_of(main_id)
+            keep |= main_chain
+            chain |= main_chain
         for snap in self.snapshots():
             if snap.snapshot_id not in chain:
                 # ONLY explicitly staged snapshots survive off-chain — a

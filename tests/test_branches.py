@@ -152,3 +152,24 @@ def test_concurrent_branch_and_main_commits_serialize(table):
     assert br.scan().count() == 300      # 200 + 5x20
     # both chains are intact ancestries of their refs
     assert table.store.head_id() != br.store.head_id()
+
+
+def test_branch_handle_expire_never_deletes_main_history(table):
+    """expire through a BRANCH handle must pin main's whole chain — only
+    the branch's own ancestry is subject to keep_last."""
+    table.create_branch("side")  # fork FIRST ...
+    main_ids = [table.store.head_id()]
+    for seed in (11, 12):  # ... then main advances PAST the fork point:
+        table.append(make_source_files(10, seed=seed), run_ts=TS2)
+        main_ids.append(table.store.head_id())  # not branch ancestors
+    br = table.branch("side")
+    for seed in (13, 14, 15):
+        br.append(make_source_files(10, seed=seed), run_ts=TS2)
+    br.expire_snapshots(keep_last=1)
+    # every main snapshot still resolves; main still scans
+    for sid in main_ids:
+        assert table.store.snapshot(sid).snapshot_id == sid
+    assert table.scan().count() == 220
+    assert br.scan().count() == 230
+    table.gc_orphans()
+    assert table.scan().count() == 220
