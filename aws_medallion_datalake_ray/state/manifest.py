@@ -494,10 +494,16 @@ class ManifestStore:
     def drop_staged(self, snapshot_id: int) -> None:
         """Abandon a staged (never-published) snapshot: the snap file is
         removed; its data files become orphans for the next GC.  Refuses to
-        touch anything on the HEAD ancestry chain."""
-        if snapshot_id in self._head_chain():
+        touch anything reachable from ANY writable ref — this store's own
+        chain, main's HEAD chain (a branch handle must not drop main
+        history), or another branch's chain."""
+        protected = self._head_chain()
+        protected |= self._chain_of(ManifestStore.head_id(self))
+        for sid in self.refs().values():
+            protected |= self._chain_of(sid)
+        if snapshot_id in protected:
             raise ValueError(
-                f"snapshot {snapshot_id} is on the published chain; "
+                f"snapshot {snapshot_id} is on a published/ref chain; "
                 "use expire/rollback for published history"
             )
         os.unlink(os.path.join(self.dir, f"snap-{snapshot_id}.json"))

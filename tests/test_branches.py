@@ -173,3 +173,21 @@ def test_branch_handle_expire_never_deletes_main_history(table):
     assert br.scan().count() == 230
     table.gc_orphans()
     assert table.scan().count() == 220
+
+
+def test_branch_handle_drop_staged_refuses_ref_chains(table):
+    """drop_staged through a branch handle must refuse snapshots on MAIN's
+    chain (and any other ref's) — not just the branch's own ancestry."""
+    table.create_branch("side2")
+    main_head = table.store.head_id()
+    table.append(make_source_files(5, seed=31), run_ts=TS2)  # main advances
+    advanced = table.store.head_id()
+    br = table.branch("side2")
+    for sid in (main_head, advanced):
+        with pytest.raises(ValueError, match="published/ref chain"):
+            br.drop_staged(sid)
+    # a genuinely staged snapshot still drops fine through the branch handle
+    staged = table.stage_append(make_source_files(5, seed=32), run_ts=TS2)
+    br.drop_staged(staged.snapshot_id)
+    with pytest.raises(FileNotFoundError):
+        table.store.snapshot(staged.snapshot_id)
