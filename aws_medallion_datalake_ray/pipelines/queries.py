@@ -3020,7 +3020,12 @@ def q72_grouped_correlation(sf_dir: str) -> pd.DataFrame:
     discount basis points): the five partials combine associatively inside
     map_batches, one tiny groupby merges them, and both engines evaluate
     the same closed-form moments in the same IEEE order — a mergeable-
-    statistics pattern DuckDB's own streaming corr() cannot hash-match."""
+    statistics pattern DuckDB's own streaming corr() cannot hash-match.
+
+    Overflow headroom: x ≤ 50 (quantity units), y ≤ 10 (discount bp/100),
+    so the largest cross-moment n·Σxy stays < 2^63 up to ~3·10^14 rows per
+    group — beyond that, promote the moment columns to two-limb int64
+    pairs (the sums themselves remain exact-mergeable)."""
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_quantity", "l_discount"])
 
