@@ -39,6 +39,15 @@ def _read(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
 
+def _npart() -> int:
+    """Hash-partition count for per-entity co-location stages: scales with
+    the cluster (2 groups per CPU keeps every core fed through stragglers)
+    instead of a fixed constant that would underpartition a 256-node run."""
+    from aws_medallion_datalake_ray.functions.joins import _ncpu
+
+    return max(32, 2 * _ncpu())
+
+
 def _drop_nulls(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """Filter rows with nulls in ``cols`` (post-left-join semi filter)."""
     return ds.map_batches(
@@ -3263,7 +3272,7 @@ def q76_funnel_steps(sf_dir: str) -> pd.DataFrame:
                              "p3": [len(t3)]})
 
     agg = (
-        ev.map_batches(_add_part(("user_id",), 32), batch_format="pyarrow")
+        ev.map_batches(_add_part(("user_id",), _npart()), batch_format="pyarrow")
         .groupby(_PART)
         .map_groups(steps, batch_format="pandas")
         .aggregate(Sum("p1", alias_name="n_view"),
@@ -3298,7 +3307,7 @@ def q77_event_transitions(sf_dir: str) -> pd.DataFrame:
         return out.rename(columns={"size": "p_n"})
 
     out = (
-        ev.map_batches(_add_part(("user_id",), 32), batch_format="pyarrow")
+        ev.map_batches(_add_part(("user_id",), _npart()), batch_format="pyarrow")
         .groupby(_PART)
         .map_groups(pairs, batch_format="pandas")
         .groupby(["prev_type", "event_type"])
@@ -3649,7 +3658,7 @@ def q85_preceding_hour_counts(sf_dir: str) -> pd.DataFrame:
                              "n_last_hour": out})
 
     out = (
-        ev.map_batches(_add_part(("user_id",), 32), batch_format="pyarrow")
+        ev.map_batches(_add_part(("user_id",), _npart()), batch_format="pyarrow")
         .groupby(_PART)
         .map_groups(frame_counts, batch_format="pandas")
         .to_pandas()
