@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-id", type=int, default=None)
     p.add_argument("--drop", action="store_true")
 
+    p = add("clone")
+    p.add_argument("--table", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--snapshot-id", type=int, default=None)
+    p.add_argument("--no-pin", action="store_true",
+                   help="do not tag-pin the source snapshot")
+
     p = add("schedule")
     p.add_argument("--cron", required=True,
                    help="5-field cron or EventBridge cron(...) expression")
@@ -214,6 +221,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.name:
                 t.tag_snapshot(args.name, args.snapshot_id)
             out["tags"] = t.tags()
+        elif args.cmd == "clone":
+            t = _table(args.table)
+            c = t.clone_to(args.dest, run_ts=args.run_ts,
+                           snapshot_id=args.snapshot_id,
+                           pin_source=not args.no_pin)
+            out["cloned_snapshot"] = c.store.head_id()
+            out["rows"] = sum(f.rows for f in c.files())
         elif args.cmd == "schedule":
             import datetime as _dt
 

@@ -448,6 +448,33 @@ def demo_table_metadata(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def demo_shallow_clone(sf_dir: str) -> pd.DataFrame:
+    """SHALLOW CLONE: an independent zero-copy table (Delta CLONE
+    semantics).  The clone diverges with its own merge+compact while the
+    source's checksum is untouched; the source snapshot is tag-pinned so
+    source retention cannot break the clone."""
+    t, base = _fresh_table(sf_dir, "clonesrc")
+    fp_src = t.content_fingerprint(FP_COLS)
+    dest_root = os.path.join(tempfile.gettempdir(),
+                             f"amdl-demo-clonedst-{len(base)}")
+    shutil.rmtree(dest_root, ignore_errors=True)
+    c = t.clone_to(dest_root, run_ts="2024-01-02T00:00:00")
+    clone_equal = c.content_fingerprint(FP_COLS) == fp_src
+    bytes_copied = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _s, fs in os.walk(os.path.join(dest_root, "data")) for f in fs)
+    c.merge(make_updates(base, 200, seed=77), run_ts="2024-01-02T00:00:01")
+    c.compact(min_files_per_bin=1, run_ts="2024-01-02T00:00:02")
+    src_untouched = t.content_fingerprint(FP_COLS) == fp_src
+    return pd.DataFrame([{
+        "clone_equal_at_creation": clone_equal,
+        "bytes_copied": bytes_copied,
+        "source_untouched_after_divergence": src_untouched,
+        "clone_rows_after_merge": c.scan().count(),
+        "source_pinned_by_tag": any(k.startswith("clone-") for k in t.tags()),
+    }])
+
+
 def demo_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT) vs the exact two-phase plan: the
     sketch state is a constant 4 KiB per block regardless of cardinality
@@ -918,6 +945,7 @@ DEMO_QUERIES = {
     "m10_branch_workflow": demo_branch_workflow,
     "m11_constraint_gate": demo_constraint_gate,
     "m12_table_metadata": demo_table_metadata,
+    "m13_shallow_clone": demo_shallow_clone,
     "t01_minhash_near_dups": demo_minhash_near_dups,
     "t05_dedup_near_removal": demo_dedup_near_removal,
     "t06_rest_fanout_ingest": demo_rest_fanout_ingest,

@@ -762,6 +762,58 @@ class LakeTable:
             added, [], "add-files", run_ts, schema_json=self._file_schema(added)
         )
 
+    def clone_to(
+        self,
+        dest_root: str,
+        run_ts: str = "1970-01-01T00:00:00",
+        snapshot_id: int | None = None,
+        pin_source: bool = True,
+    ) -> "LakeTable":
+        """SHALLOW CLONE (Delta ``CLONE`` semantics): a NEW independent table
+        whose first snapshot references this table's current (or pinned)
+        data files in place — zero bytes copied, manifest entries carried by
+        value so stats, partition values, per-file Bloom filters, the
+        evolution spec, and pending merge-on-read delete specs all survive.
+        The clone then diverges freely: its own commits write into its own
+        data dir; its GC never touches foreign absolute paths.
+
+        ``pin_source=True`` tags the source snapshot
+        (``clone-<dest basename>``) so source retention cannot expire the
+        files the clone references — the vacuum-breaks-shallow-clones hazard
+        Delta documents is closed by construction here; drop the tag when
+        the clone is deleted or deep-copied.  Complements branches: a branch
+        shares one commit tree and lock; a clone is a separate table (own
+        lock, own retention) sharing only immutable data files."""
+        snap = (self.store.head() if snapshot_id is None
+                else self.store.snapshot(snapshot_id))
+        if snap is None:
+            raise ValueError("cannot clone an empty table")
+        files = self.store.files(snap)
+        dest = LakeTable.create(dest_root)
+        dest.config = dict(self.config)
+        with open(os.path.join(dest_root, "table.json"), "w") as f:
+            json.dump(dest.config, f)
+        added = [
+            DataFile(
+                path=(df.path if os.path.isabs(df.path) else self.abs(df.path)),
+                rows=df.rows, bytes=df.bytes,
+                partition=dict(df.partition),
+                stats={c: dict(st) for c, st in df.stats.items()},
+            )
+            for df in files
+        ]
+        summary: dict[str, Any] = {"cloned_from": self.root,
+                                   "source_snapshot": snap.snapshot_id}
+        for spec in ("evolution", "deletes"):  # specs must ride the clone
+            if spec in (snap.summary or {}):
+                summary[spec] = snap.summary[spec]
+        dest.store.commit(added, [], "clone", run_ts,
+                          schema_json=snap.schema_json, summary=summary)
+        if pin_source:
+            self.tag_snapshot(f"clone-{os.path.basename(dest_root.rstrip('/'))}",
+                              snap.snapshot_id)
+        return dest
+
     def overwrite(
         self,
         data,

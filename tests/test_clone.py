@@ -1,0 +1,78 @@
+"""SHALLOW CLONE: zero-copy independent tables sharing immutable files."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from aws_medallion_datalake_ray.sources.fixtures import make_source_files, make_updates
+from aws_medallion_datalake_ray.state.table import LakeTable
+
+TS = "2024-01-01T00:00:00"
+TS2 = "2024-02-01T00:00:00"
+FP = ("repo", "path", "commit", "lang", "content")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    t = LakeTable.create(str(tmp_path / "src"))
+    t.append(make_source_files(300, seed=41), run_ts=TS)
+    t.append(make_source_files(100, seed=42), run_ts=TS)
+    return t
+
+
+def test_clone_is_zero_copy_and_equal(table, tmp_path):
+    fp = table.content_checksum(FP)
+    c = table.clone_to(str(tmp_path / "dst"), run_ts=TS2)
+    assert c.content_checksum(FP) == fp
+    # zero data copied: the clone's data dir is empty
+    files_in_dest = [
+        f for _d, _s, fs in os.walk(os.path.join(str(tmp_path / "dst"), "data"))
+        for f in fs
+    ]
+    assert files_in_dest == []
+    assert c.store.head().operation == "clone"
+
+
+def test_clone_diverges_independently(table, tmp_path):
+    fp_src = table.content_checksum(FP)
+    c = table.clone_to(str(tmp_path / "dst"), run_ts=TS2)
+    c.merge(make_updates(make_source_files(300, seed=41), 50, seed=9),
+            run_ts=TS2)
+    c.compact(min_files_per_bin=1, run_ts=TS2)
+    assert table.content_checksum(FP) == fp_src  # source untouched
+    assert c.content_checksum(FP) != fp_src
+    # clone GC never deletes the source's files
+    c.expire_snapshots(keep_last=1)
+    deleted = c.gc_orphans()
+    assert all(not os.path.isabs(p) or str(tmp_path / "src") not in p
+               for p in deleted)
+    assert table.scan().count() == 400
+
+
+def test_clone_pins_source_snapshot_against_retention(table, tmp_path):
+    src_head = table.store.head_id()
+    table.clone_to(str(tmp_path / "dst"), run_ts=TS2)
+    assert table.tags().get("clone-dst") == src_head
+    # churn + retention on the source: the pinned snapshot survives
+    for seed in (1, 2, 3):
+        table.overwrite(make_source_files(50, seed=seed), run_ts=TS2)
+    table.expire_snapshots(keep_last=1)
+    table.gc_orphans()
+    c = LakeTable(str(tmp_path / "dst"))
+    assert c.scan().count() == 400  # still fully readable
+
+
+def test_clone_carries_evolution_spec(table, tmp_path):
+    table.evolve_schema(add={"stars": (pa.int64(), 7)},
+                        rename={"lang": "language"}, run_ts=TS)
+    c = table.clone_to(str(tmp_path / "dst"), run_ts=TS2)
+    got = c.to_arrow(columns=["language", "stars"])
+    assert got.num_rows == 400
+    assert got["stars"].null_count == 0
+
+
+def test_clone_pinned_snapshot(table, tmp_path):
+    first = table.store.snapshots()[0].snapshot_id
+    c = table.clone_to(str(tmp_path / "old"), snapshot_id=first, run_ts=TS2)
+    assert c.scan().count() == 300  # pre-second-append state
