@@ -3893,6 +3893,67 @@ def q89_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
+def q90_subtree_rollup(sf_dir: str) -> pd.DataFrame:
+    """HIERARCHICAL aggregation (subtree rollup over an org-tree, the
+    recursive-CTE shape): each entity's total must accumulate into every
+    ancestor.  With bounded depth the scalable plan is ANCESTOR FAN-OUT,
+    not recursion: per-entity totals reduce once, then each total explodes
+    into its ~log(N) ancestor rows batch-side (node = user_id+1, parent =
+    node//2) and one groupby lands all subtree sums — O(N log N) rows
+    shuffled, no iterative self-joins.  Values in exact 1e-4 units.
+    Oracle: DuckDB WITH RECURSIVE ancestor closure."""
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        v4 = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(10000.0))),
+                     pa.int64())
+        return (
+            pa.table({"node": pc.add(t["user_id"], pa.scalar(1, pa.int64())),
+                      "p_n": pa.array(np.ones(len(t), np.int64)), "p_v": v4})
+            .group_by("node")
+            .aggregate([("p_n", "sum"), ("p_v", "sum")])
+            .rename_columns(["node", "p_n", "p_v"])
+        )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        n = t["p_n"].to_numpy(zero_copy_only=False)
+        v = t["p_v"].to_numpy(zero_copy_only=False)
+        anc_parts, n_parts, v_parts = [], [], []
+        cur = node.copy()
+        while (cur >= 1).any():
+            live = cur >= 1
+            anc_parts.append(cur[live])
+            n_parts.append(n[live])
+            v_parts.append(v[live])
+            cur = cur // 2
+        return (
+            pa.table({"node": np.concatenate(anc_parts),
+                      "p_n": np.concatenate(n_parts),
+                      "p_v": np.concatenate(v_parts)})
+            .group_by("node")
+            .aggregate([("p_n", "sum"), ("p_v", "sum")])
+            .rename_columns(["node", "p_n", "p_v"])
+        )
+
+    out = (
+        ev.map_batches(per_user, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("p_n", alias_name="n1"), Sum("p_v", alias_name="v1"))
+        .map_batches(
+            lambda t: fan_out(t.rename_columns(["node", "p_n", "p_v"])),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_v", alias_name="v"))
+        .to_pandas()
+    )
+    out["n_events_subtree"] = out["n"].astype("int64")
+    out["sum_value_subtree"] = (out["v"] / 10000.0).round(4)
+    return out[["node", "n_events_subtree", "sum_value_subtree"]].sort_values(
+        "node").reset_index(drop=True)
+
+
 # ================================================================ oracle SQL
 
 ORACLE_SQL: dict[str, str] = {
@@ -5111,6 +5172,24 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(a.p_name, b.p_name) <= 1
         ORDER BY key_a, key_b
     """,
+    "q90_subtree_rollup": """
+        -- subtree totals over the implicit node//2 tree; recursive
+        -- ancestor closure, exact 1e-4 value units
+        WITH RECURSIVE per AS (
+            SELECT user_id + 1 AS node, count(*) AS n,
+                   sum(CAST(round(value * 10000, 0) AS BIGINT)) AS v4
+            FROM events GROUP BY 1
+        ), anc AS (
+            SELECT node AS src, node AS anc FROM per
+            UNION ALL
+            SELECT a.src, a.anc // 2 FROM anc a WHERE a.anc > 1
+        )
+        SELECT a.anc AS node,
+               CAST(sum(p.n) AS BIGINT) AS n_events_subtree,
+               round(sum(p.v4) / 10000.0, 4) AS sum_value_subtree
+        FROM anc a JOIN per p ON p.node = a.src
+        GROUP BY 1 ORDER BY 1
+    """,
     "q23_session_windows": """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
@@ -5220,4 +5299,5 @@ SQL_QUERIES = {
     "q87_stopword_scrub": q87_stopword_scrub,
     "q88_mad_outliers": q88_mad_outliers,
     "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
+    "q90_subtree_rollup": q90_subtree_rollup,
 }
