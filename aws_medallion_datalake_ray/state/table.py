@@ -804,9 +804,18 @@ class LakeTable:
         ]
         summary: dict[str, Any] = {"cloned_from": self.root,
                                    "source_snapshot": snap.snapshot_id}
-        for spec in ("evolution", "deletes"):  # specs must ride the clone
-            if spec in (snap.summary or {}):
-                summary[spec] = snap.summary[spec]
+        if "evolution" in (snap.summary or {}):  # spec must ride the clone
+            summary["evolution"] = snap.summary["evolution"]
+        if (snap.summary or {}).get("deletes"):
+            # pending MoR delete specs pin FILE PATHS — rewrite them through
+            # the same absolutization as the entries or the masks go dead
+            def _abs(p: str) -> str:
+                return p if os.path.isabs(p) else self.abs(p)
+
+            summary["deletes"] = [
+                dict(sp, files=[_abs(p) for p in sp.get("files", [])])
+                for sp in snap.summary["deletes"]
+            ]
         dest.store.commit(added, [], "clone", run_ts,
                           schema_json=snap.schema_json, summary=summary)
         if pin_source:

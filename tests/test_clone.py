@@ -76,3 +76,35 @@ def test_clone_pinned_snapshot(table, tmp_path):
     first = table.store.snapshots()[0].snapshot_id
     c = table.clone_to(str(tmp_path / "old"), snapshot_id=first, run_ts=TS2)
     assert c.scan().count() == 300  # pre-second-append state
+
+
+def test_clone_carries_pending_delete_spec(table, tmp_path):
+    table.delete_where([("lang", "==", "py")], mode="lazy", run_ts=TS)
+    n_src = table.scan().count()  # masked already
+    c = table.clone_to(str(tmp_path / "dst"), run_ts=TS2)
+    assert c.scan().count() == n_src
+    assert c.scan(predicate=[("lang", "==", "py")]).count() == 0
+    # materializing in the clone does not disturb the source's pending spec
+    c.apply_pending_deletes(run_ts=TS2)
+    assert c.scan().count() == n_src
+    assert table.scan().count() == n_src
+
+
+def test_clone_carries_blooms_and_partition_pruning(tmp_path):
+    from aws_medallion_datalake_ray.state.table import prune_files
+
+    base = make_source_files(400, seed=5)
+    t = LakeTable.create(str(tmp_path / "psrc"), partition_cols=("lang",))
+    for i in range(0, 400, 100):
+        t.append(base.slice(i, 100), run_ts=TS)
+    t.build_blooms(["path"], run_ts=TS)
+    probe = base["path"][0].as_py()
+    c = t.clone_to(str(tmp_path / "pdst"), run_ts=TS2)
+    # partition values carried: equality scan prunes to one partition
+    files = c.files()
+    py = prune_files(files, [("lang", "==", "py")])
+    assert py and all(f.partition.get("lang") == "py" for f in py)
+    # blooms carried: a point probe keeps fewer files than the full set
+    hit = prune_files(files, [("path", "==", probe)])
+    assert 0 < len(hit) < len(files)
+    assert any("bloom" in f.stats.get("path", {}) for f in files)
