@@ -1856,7 +1856,14 @@ class LakeTable:
         return self.store.commit(
             added, removed, "rollback", run_ts,
             schema_json=target.schema_json,
-            summary={"rolled_back_to": snapshot_id},
+            # restore the TARGET's spec state explicitly — commit() would
+            # otherwise inherit the CURRENT head's evolution/pending-delete
+            # specs, masking (or renaming) rows the restored snapshot had
+            summary={
+                "rolled_back_to": snapshot_id,
+                "deletes": (target.summary or {}).get("deletes", []),
+                "evolution": (target.summary or {}).get("evolution", {}),
+            },
         )
 
     # ------------------------------------------------------------ expiry / GC

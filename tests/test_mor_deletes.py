@@ -170,3 +170,21 @@ def test_lazy_delete_partition_drop_is_metadata_only(tmp_path):
     assert out["rows_deleted_metadata_only"] == n_go
     assert t._pending_deletes() == []
     assert t.scan().count() == 300 - n_go
+
+
+def test_rollback_across_lazy_delete_restores_masked_rows(tmp_path, ray_session):
+    """Rollback to a pre-delete snapshot must RESTORE the target's spec
+    state — not inherit the current head's pending masks (which would keep
+    hiding rows the restored snapshot had)."""
+    from aws_medallion_datalake_ray.sources.fixtures import make_source_files
+
+    t = LakeTable.create(str(tmp_path / "rb"))
+    t.append(make_source_files(200, seed=1), run_ts=TS)
+    pre = t.store.head_id()
+    n_pre = t.scan().count()
+    t.delete_where([("lang", "==", "py")], mode="lazy", run_ts=TS)
+    assert t.scan().count() < n_pre
+    t.rollback(pre, run_ts=TS)
+    assert t.scan().count() == n_pre
+    # and rolling FORWARD to the post-delete snapshot re-masks
+    assert t._pending_deletes() == []
