@@ -3103,6 +3103,13 @@ class LakeTable:
         files_b = {f.path: f for f in self.files(to_id)}
         removed = [f for p, f in sorted(files_a.items()) if p not in files_b]
         added = [f for p, f in sorted(files_b.items()) if p not in files_a]
+        # merge-on-read delete specs: each side reads with ITS snapshot's
+        # masks (a masked row is not data of that snapshot), and specs added
+        # between the snapshots emit their masked rows as DELETE rows even
+        # though no file changed (lazy deletes are metadata-only)
+        specs_a = self._pending_deletes(from_snapshot)
+        specs_b = self._pending_deletes(to_id)
+        new_specs = [sp for sp in specs_b if sp not in specs_a]
         schema = (_schema_from_json(snap_b.schema_json)
                   if snap_b.schema_json else None)
         key = list(key_cols) if key_cols else (
@@ -3135,14 +3142,56 @@ class LakeTable:
                 return t.append_column("_change", pa.repeat(pa.scalar(_c), len(t)))
             return ds.map_batches(add, batch_format="pyarrow")
 
+        def read_side(files: list[DataFile], side: int,
+                      cols: list[str] | None) -> "ray.data.Dataset":
+            specs = specs_a if side == 0 else specs_b
+            if specs:
+                return self._read_files_with_deletes(
+                    files, specs, cols, None, to_id)
+            return self._read_files(files, columns=cols, evolution=evo_b)
+
+        def spec_delta_deletes() -> "ray.data.Dataset | None":
+            """DELETE rows from masks added between the snapshots, read off
+            files unchanged by the file delta (changed files flow through
+            the masked diff).  New specs apply sequentially so a row
+            matching several attributes to the first — no double emit."""
+            if not new_specs:
+                return None
+            unchanged = [f for p, f in sorted(files_b.items())
+                         if p in files_a]
+            pieces = []
+            cum = list(specs_a)
+            for sp in new_specs:
+                in_spec = set(sp["files"])
+                fs = [f for f in unchanged if f.path in in_spec]
+                if fs:
+                    pred = [tuple(x) for x in sp["predicate"]]
+                    if cum:
+                        d = self._read_files_with_deletes(
+                            fs, cum, out_cols, pred, to_id)
+                    else:
+                        d = self._read_files(fs, columns=out_cols,
+                                             predicate=pred, evolution=evo_b)
+                    pieces.append(d)
+                cum = cum + [sp]
+            if not pieces:
+                return None
+            ds = pieces[0]
+            for d in pieces[1:]:
+                ds = ds.union(d)
+            return tag(ds, "delete")
+
+        extra = spec_delta_deletes()
+
+        def merged(feed: "ray.data.Dataset") -> "ray.data.Dataset":
+            return feed.union(extra) if extra is not None else feed
+
         if not removed and not added:
-            return empty()
+            return merged(empty())
         if not removed:  # append-only delta: every new-file row is an insert
-            return tag(self._read_files(added, columns=out_cols,
-                                        evolution=evo_b), "insert")
+            return merged(tag(read_side(added, 1, out_cols), "insert"))
         if not added:
-            return tag(self._read_files(removed, columns=out_cols,
-                                        evolution=evo_b), "delete")
+            return merged(tag(read_side(removed, 0, out_cols), "delete"))
 
         data_cols = [c for c in (schema.names if schema else key)]
         # Two-phase plan (default): the compare shuffles only 24 B/row of
@@ -3169,7 +3218,7 @@ class LakeTable:
                     "s": pa.repeat(pa.scalar(_s, pa.int8()), len(t)),
                     "p": pa.array((k1 % np.uint64(P)).astype(np.int32)),
                 })
-            return self._read_files(files, evolution=evo_b).map_batches(
+            return read_side(files, s, None).map_batches(
                 m, batch_format="pyarrow")
 
         def classify(t: pa.Table) -> pa.Table:
@@ -3218,7 +3267,7 @@ class LakeTable:
             .to_pandas()
         )
         if len(changed) == 0:
-            return empty()
+            return merged(empty())
         if len(changed) <= CHANGE_FEED_BROADCAST_KEYS:
             order = np.argsort(changed["k1"].to_numpy(), kind="stable")
             ck1 = changed["k1"].to_numpy()[order]
@@ -3264,24 +3313,20 @@ class LakeTable:
                             pa.field("_change", pa.string())).empty_table()
                     return pa.concat_tables(pieces)
 
-                out = self._read_files(
-                    removed, columns=read_cols, evolution=evo_b
-                ).map_batches(
+                out = read_side(removed, 0, read_cols).map_batches(
                     emit, fn_kwargs={"_s": 0}, batch_format="pyarrow"
                 ).union(
-                    self._read_files(
-                        added, columns=read_cols, evolution=evo_b
-                    ).map_batches(
+                    read_side(added, 1, read_cols).map_batches(
                         emit, fn_kwargs={"_s": 1}, batch_format="pyarrow"
                     )
                 )
-                return out
+                return merged(out)
         # fallback: full-row co-partition diff (huge changed set, or the
         # astronomically-unlikely k1 collision inside the changed set)
-        return self._change_feed_shuffle(
+        return merged(self._change_feed_shuffle(
             removed, added, key, data_cols, evo_b, include_preimages, P,
-            out_cols=out_cols,
-        )
+            out_cols=out_cols, read_side=read_side,
+        ))
 
     def _change_feed_shuffle(
         self,
@@ -3293,9 +3338,16 @@ class LakeTable:
         include_preimages: bool,
         P: int,
         out_cols: list[str] | None = None,
+        read_side=None,
     ) -> "ray.data.Dataset":
         """Full-row co-partitioned diff: hash(key) % P partitions, vectorized
-        numpy classification per partition (never one Python call per key)."""
+        numpy classification per partition (never one Python call per key).
+        ``read_side(files, side, cols)`` (from change_feed) applies each
+        snapshot's pending-delete masks; None = raw reads."""
+        if read_side is None:
+            def read_side(files, side_i, cols):  # noqa: ARG001
+                return self._read_files(files, columns=cols, evolution=evo_b)
+
         def side(ds: "ray.data.Dataset", s: int) -> "ray.data.Dataset":
             def add(t: pa.Table, _s=s) -> pa.Table:
                 from aws_medallion_datalake_ray.functions.hashing import (
@@ -3310,8 +3362,8 @@ class LakeTable:
                 ).append_column("__cfp", pa.array(part))
             return ds.map_batches(add, batch_format="pyarrow")
 
-        both = side(self._read_files(removed, evolution=evo_b), 0).union(
-            side(self._read_files(added, evolution=evo_b), 1)
+        both = side(read_side(removed, 0, None), 0).union(
+            side(read_side(added, 1, None), 1)
         )
 
         def diff_partition(

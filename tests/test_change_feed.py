@@ -205,3 +205,61 @@ def test_columns_on_shuffle_fallback(table, monkeypatch):
     df = table.change_feed(s1, key_cols=KEY, columns=["path", "lang"]).to_pandas()
     assert sorted(df.columns) == ["_change", "lang", "path"]
     assert collections.Counter(df["_change"]) == {"update": 4}
+
+
+def test_lazy_delete_emits_delete_rows(tmp_path, ray_session):
+    """A merge-on-read DELETE changes no file, but its masked rows must
+    still surface in the feed as deletes (CDC = row-level truth, not file
+    deltas)."""
+    t = LakeTable.create(str(tmp_path / "cfl"))
+    t.append(make_source_files(200, seed=1), run_ts=TS)
+    s1 = t.store.head_id()
+    t.delete_where([("lang", "==", "py")], mode="lazy", run_ts=TS)
+    s2 = t.store.head_id()
+    n_masked = 200 - t.scan().count()
+    assert n_masked > 0
+    feed = t.change_feed(s1, s2, key_cols=("repo", "path", "commit")).to_pandas()
+    assert len(feed) == n_masked
+    assert set(feed["_change"]) == {"delete"}
+    assert set(feed["lang"]) == {"py"}
+
+
+def test_feed_across_lazy_delete_then_merge_matches_ground_truth(
+        tmp_path, ray_session):
+    """After a lazy delete, a merge's feed must equal the true visible-row
+    diff: no masked row resurrects as a delete pre-image, every genuinely
+    new row appears."""
+    t = LakeTable.create(str(tmp_path / "cfm"))
+    base = make_source_files(200, seed=1)
+    t.append(base, run_ts=TS)
+    t.delete_where([("lang", "==", "py")], mode="lazy", run_ts=TS)
+    s2 = t.store.head_id()
+    t.merge(make_updates(base, 30, seed=9), run_ts=TS)
+    s3 = t.store.head_id()
+
+    def keys(sid):
+        df = t.scan(snapshot_id=sid).to_pandas()
+        return set(zip(df["repo"], df["path"], df["commit"]))
+
+    ka, kb = keys(s2), keys(s3)
+    feed = t.change_feed(s2, s3, key_cols=("repo", "path", "commit")).to_pandas()
+    ins = feed[feed["_change"] == "insert"]
+    dele = feed[feed["_change"] == "delete"]
+    assert set(zip(ins["repo"], ins["path"], ins["commit"])) == kb - ka
+    assert set(zip(dele["repo"], dele["path"], dele["commit"])) == ka - kb
+
+
+def test_stacked_lazy_deletes_feed_without_double_emit(tmp_path, ray_session):
+    """Two lazy deletes between the snapshots: every masked row emits
+    exactly once even where the specs' file sets overlap."""
+    t = LakeTable.create(str(tmp_path / "cfs"))
+    t.append(make_source_files(200, seed=1), run_ts=TS)
+    s1 = t.store.head_id()
+    t.delete_where([("lang", "==", "py")], mode="lazy", run_ts=TS)
+    t.delete_where([("lang", "==", "js")], mode="lazy", run_ts=TS)
+    s3 = t.store.head_id()
+    n_masked = 200 - t.scan().count()
+    feed = t.change_feed(s1, s3, key_cols=("repo", "path", "commit")).to_pandas()
+    assert len(feed) == n_masked
+    assert set(feed["_change"]) == {"delete"}
+    assert not feed.duplicated(["repo", "path", "commit"]).any()
