@@ -220,7 +220,9 @@ def demo_incremental_view(sf_dir: str) -> pd.DataFrame:
     (n_rows, sum_chars) view is updated by applying ONLY the CDC delta
     (insert +, delete -, update = retract preimage + apply postimage) and
     must equal a full recompute — the delta pass touches O(changed rows),
-    not the table."""
+    not the table.  The change stream includes a metadata-only
+    merge-on-read DELETE: the mask-aware feed surfaces its rows with no
+    file delta, so the view stays exact across lazy deletes too."""
     import pyarrow.compute as pc
 
     def view(t: LakeTable) -> pd.DataFrame:
@@ -259,6 +261,10 @@ def demo_incremental_view(sf_dir: str) -> pd.DataFrame:
                                            got["path"].to_pylist(),
                                            got["commit"].to_pylist())]
     t.delete_keys(victims, run_ts="2024-01-02T00:00:02")
+    # and a MERGE-ON-READ delete: metadata-only, no file changes — the
+    # mask-aware feed must still surface its rows as deletes for the view
+    t.delete_where([("lang", "==", "toml")], mode="lazy",
+                   run_ts="2024-01-02T00:00:03")
 
     # distributed delta rollup over the feed only; columns= prunes the
     # second-pass read to exactly what the rollup consumes
