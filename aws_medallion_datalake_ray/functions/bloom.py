@@ -96,20 +96,31 @@ def value_hashes(values) -> np.ndarray:
     """Stable hashes for bloom build AND probe — one function so the two
     sides can never disagree.  Accepts an Arrow array/column, numpy array,
     list, or a single scalar.  Integer PROBE constants must take the same
-    int64 path as Arrow integer COLUMNS (SipHash of an object-dtype python
-    int differs from the int64-array hash — verified empirically)."""
+    int64 path as Arrow integer COLUMNS — that includes OBJECT-dtype numpy
+    arrays of python ints (e.g. a ``.to_numpy(dtype=object)`` key slice):
+    SipHash of an object-dtype int differs from the int64-array hash, so
+    every all-int input is routed through int64 (verified empirically)."""
     import pyarrow as pa
 
-    if isinstance(values, (pa.Array, pa.ChunkedArray)) or (
-        hasattr(values, "dtype") and not np.isscalar(values)
-    ):
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
         return hash_col(values)
-    if isinstance(values, (list, tuple, set, frozenset)):
+    if hasattr(values, "dtype") and not np.isscalar(values):
+        arr = np.asarray(values)
+        if arr.dtype != object:
+            if arr.dtype.kind == "f":
+                # Arrow FLOAT columns build through the object path
+                # (`_as_object_array` casts non-int Arrow to object); a
+                # native float64 probe would hash the raw bit view and
+                # miss — route floats through object too (verified)
+                return hash_col(arr.astype(object))
+            return hash_col(arr)
+        vals = list(arr)  # object ndarray: fall through to typed dispatch
+    elif isinstance(values, (list, tuple, set, frozenset)):
         vals = sorted(values, key=str)
     else:
         vals = [values]
     if vals and all(
-        isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+        isinstance(v, (int, np.integer)) and not isinstance(v, (bool, np.bool_))
         for v in vals
     ):
         return hash_col(np.array(vals, np.int64))
@@ -151,10 +162,102 @@ def dataset_key_bloom(
     return bits, m, k
 
 
-def bloom_may_contain_any(st_bloom: dict, values) -> bool:
+def _coerce_probe(values, hint) -> tuple[list, bool]:
+    """Map probe constants into the indexed column's value domain before
+    hashing.  ``hint`` is a sample value of the column's NATIVE type (the
+    file's min stat) — the build side hashed that domain, so a probe in a
+    different numeric type (``5.0`` against an int64 column, ``5`` against
+    a float column) hashes differently and would be a FALSE NEGATIVE.
+
+    Returns ``(normalized_values, conservative)``.  ``conservative=True``
+    means an element could not be mapped (type confusion, e.g. a string
+    probe on a numeric column): the caller must keep the file.  Elements
+    PROVABLY outside the domain (non-integral floats or None against an
+    int column) are dropped — no stored value can equal them."""
+    if isinstance(values, (list, tuple, set, frozenset)):
+        vals = list(values)
+    elif hasattr(values, "dtype") and not np.isscalar(values):
+        arr = np.asarray(values).ravel()
+        if hint is not None and arr.dtype != object:
+            # vectorized fast path for typed probe arrays (the
+            # `_files_for_first_keys` slices can hold up to probe_cap
+            # values — no per-element Python loop there)
+            hint_int = (isinstance(hint, (int, np.integer))
+                        and not isinstance(hint, (bool, np.bool_)))
+            k = arr.dtype.kind
+            if k in ("i", "u"):
+                if hint_int:
+                    return arr, False
+                if isinstance(hint, (float, np.floating)):
+                    return arr.astype(np.float64), False
+                return list(arr), True
+            if k == "f":
+                if isinstance(hint, (float, np.floating)):
+                    return arr, False
+                if hint_int:  # only integral finite floats can equal ints
+                    m = np.isfinite(arr) & (arr == np.floor(arr))
+                    return arr[m].astype(np.int64), False
+                return list(arr), True
+            if k in ("U", "S"):
+                return (arr, False) if isinstance(hint, str) else (list(arr), True)
+            return list(arr), True
+        vals = list(arr)
+    else:
+        vals = [values]
+    if hint is None:
+        return vals, False
+    is_bool = isinstance(hint, (bool, np.bool_))
+    out: list = []
+    if isinstance(hint, (int, np.integer)) and not is_bool:
+        for v in vals:
+            if isinstance(v, (bool, np.bool_)):
+                return vals, True
+            if isinstance(v, (int, np.integer)):
+                out.append(int(v))
+            elif isinstance(v, (float, np.floating)):
+                if float(v).is_integer():
+                    out.append(int(v))
+                # else: no int equals a non-integral float -> drop
+            elif v is None:
+                pass  # NULL matches nothing under == / in
+            else:
+                return vals, True
+        return out, False
+    if isinstance(hint, (float, np.floating)):
+        for v in vals:
+            if isinstance(v, (bool, np.bool_)):
+                return vals, True
+            if isinstance(v, (int, np.integer, float, np.floating)):
+                out.append(float(v))
+            elif v is None:
+                pass
+            else:
+                return vals, True
+        return out, False
+    if isinstance(hint, str):
+        for v in vals:
+            if isinstance(v, str):
+                out.append(v)
+            elif v is None:
+                pass
+            else:
+                return vals, True
+        return out, False
+    return vals, True  # unknown column domain: never prune on the bloom
+
+
+def bloom_may_contain_any(st_bloom: dict, values, hint=None) -> bool:
     """Probe a manifest-stored filter with one or more constants: False
-    means NO probe value can be in the file (safe to skip)."""
+    means NO probe value can be in the file (safe to skip).  Pass ``hint``
+    (a native-typed sample of the column, e.g. its min stat) so numeric
+    probe constants are cast into the column's hash domain first — on any
+    type mismatch the answer falls back to True (keep the file)."""
+    vals, conservative = _coerce_probe(values, hint)
+    if conservative:
+        return True
+    if len(vals) == 0:
+        return False  # every probe value is provably outside the domain
     bitset = base64.b64decode(st_bloom["b"])
-    hits = bloom_contains(bitset, value_hashes(values),
+    hits = bloom_contains(bitset, value_hashes(vals),
                           int(st_bloom["m"]), int(st_bloom["k"]))
     return bool(hits.any())

@@ -510,3 +510,128 @@ def attach_lookup(
         small_ds, join_type="left_outer", num_partitions=nparts,
         on=(left_key,), **kw,
     )
+
+
+LAST_FILTER_PLAN: dict = {}
+
+
+def _keyset_member_mask(t: pa.Table, *, ref, col: str) -> np.ndarray:
+    """Vectorized membership of ``t[col]`` in the broadcast sorted key array
+    (zero-copy plasma fetch, searchsorted — no Python per row).  NULL keys
+    are never members."""
+    ks = ray.get(ref)
+    arr = t[col]
+    nn = ~pc.is_null(arr).to_numpy(zero_copy_only=False)
+    hit = np.zeros(len(t), bool)
+    if nn.any() and len(ks):
+        v = arr.to_numpy(zero_copy_only=False)[nn]
+        idx = np.clip(np.searchsorted(ks, v), 0, len(ks) - 1)
+        hit[nn] = ks[idx] == v
+    return hit
+
+
+def _semi_filter_batch(t: pa.Table, *, ref, col: str, anti: bool) -> pa.Table:
+    hit = _keyset_member_mask(t, ref=ref, col=col)
+    return t.filter(pa.array(~hit if anti else hit))
+
+
+def filter_by_keys(
+    ds: "ray.data.Dataset",
+    col: str,
+    keys: "np.ndarray | list | pa.Array | pa.Table | ray.data.Dataset",
+    *,
+    right_col: str | None = None,
+    anti: bool = False,
+    count_budget: int | None = None,
+    bytes_budget: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Budgeted SEMI (``anti=False``) / ANTI (``anti=True``) join of ``ds``
+    against a key SET — the key-set dual of :func:`attach_lookup` and the
+    query-side twin of ``LakeTable.delete_keys``'s broadcast/partitioned
+    duality.
+
+    ``keys`` may be a driver array/list (already-small sets), an Arrow
+    array/table, or a (possibly non-distinct) single-column ``Dataset``
+    (e.g. a fact table's foreign-key column — it is distinct-ed
+    DISTRIBUTED, so the raw column never reaches the driver).
+
+    Plan selection: broadcast the sorted distinct key array via ``ray.put``
+    only while it fits BOTH a row-count and a byte budget (each batch then
+    filters with one vectorized searchsorted — no shuffle); otherwise
+    co-partition via ``Dataset.join`` (left-outer against a marked distinct
+    key set; semi keeps marker hits, anti keeps misses) so a key set that
+    grows with SF never materializes on the driver.  The chosen plan is
+    recorded in :data:`LAST_FILTER_PLAN`.
+
+    NULL ``ds[col]`` values are never members: semi drops them, anti keeps
+    them (NOT-EXISTS shape) — identically in both arms.
+    """
+    count_budget = BROADCAST_COUNT_BUDGET if count_budget is None else count_budget
+    bytes_budget = BROADCAST_BYTES_BUDGET if bytes_budget is None else bytes_budget
+
+    KEY, HIT = "__kf_key", "__kf_hit"
+    keys_ds = None
+    arr = None
+    if isinstance(keys, ray.data.Dataset):
+        right_col = right_col or keys.schema().names[0]
+        from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+        keys_ds = exact_dedup(
+            keys.select_columns([right_col]), (right_col,),
+            num_partitions=max(2, _ncpu()), rebundle_narrow=True,
+        ).materialize()
+        n, nbytes = keys_ds.count(), int(keys_ds.size_bytes() or 0)
+    else:
+        if isinstance(keys, pa.Table):
+            keys = keys[right_col or keys.column_names[0]]
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            keys = keys.to_numpy(zero_copy_only=False)
+        arr = np.unique(np.asarray(keys))
+        n = len(arr)
+        nbytes = (int(arr.nbytes) if arr.dtype != object
+                  else int(pd.Series(arr).memory_usage(deep=True)))
+
+    use_broadcast = n <= count_budget and nbytes <= bytes_budget
+    LAST_FILTER_PLAN.clear()
+    LAST_FILTER_PLAN.update(
+        plan="broadcast" if use_broadcast else "joined",
+        rows=int(n), bytes=int(nbytes), anti=bool(anti),
+    )
+
+    if use_broadcast:
+        if arr is None:
+            got = (pa.concat_tables(
+                keys_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+                if n else keys_ds.schema().empty_table())
+            arr = np.unique(got[right_col].to_numpy(zero_copy_only=False))
+        ref = ray.put(np.ascontiguousarray(arr))
+        return ds.map_batches(
+            _semi_filter_batch,
+            fn_kwargs={"ref": ref, "col": col, "anti": anti},
+            batch_format="pyarrow",
+        )
+
+    if keys_ds is None:
+        keys_ds = ray.data.from_arrow(pa.table({right_col or col: pa.array(arr)}))
+        right_col = right_col or col
+    marked = keys_ds.map_batches(
+        lambda t, rc=right_col: pa.table({
+            KEY: t[rc],
+            HIT: pa.array(np.ones(len(t), np.int8)),
+        }),
+        batch_format="pyarrow",
+    )
+    nparts = num_partitions or max(2, _ncpu() // 2)
+    joined = ds.join(
+        marked, join_type="left_outer", num_partitions=nparts,
+        on=(col,), right_on=(KEY,),
+    )
+    keep_cols = ds.schema().names
+
+    def _finish(t: pa.Table, keep=tuple(keep_cols), anti=anti) -> pa.Table:
+        miss = pc.is_null(t[HIT]).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(miss if anti else ~miss))
+        return t.select([c for c in keep if c in t.column_names])
+
+    return joined.map_batches(_finish, batch_format="pyarrow")

@@ -520,28 +520,20 @@ def q19_orders_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def q20_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join via broadcast key set (SURVEY J3): the orders key set ships
-    once through the object store; each batch filters with a vectorized
-    isin — no shuffle."""
-    # distributed distinct of the fact key column — only the distinct custkey
-    # set (dim cardinality) ever reaches the driver, never the raw column
-    keys = np.sort(
-        np.asarray(_read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey"))
-    )
-    keys_ref = ray.put(np.ascontiguousarray(keys))
+    """Anti join via budgeted key set (SURVEY J3): ``filter_by_keys``
+    distinct-s the fact key column DISTRIBUTED, broadcasts the sorted set
+    only within its count+byte budget (each batch then anti-filters with
+    one vectorized searchsorted — no shuffle), and above budget
+    co-partitions via ``Dataset.join`` so a custkey set that grows with SF
+    never materializes on the driver."""
+    from aws_medallion_datalake_ray.functions.joins import filter_by_keys
 
-    def anti(t: pa.Table, ref=keys_ref) -> pa.Table:
-        ks = ray.get(ref)  # zero-copy plasma fetch
-        vals = t["c_custkey"].to_numpy()
-        idx = np.clip(np.searchsorted(ks, vals), 0, len(ks) - 1)
-        hit = ks[idx] == vals
-        return t.filter(pa.array(~hit))
-
-    out = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-        .map_batches(anti, batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = filter_by_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_custkey",
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        right_col="o_custkey", anti=True,
+    ).to_pandas()
     if out.empty:  # all customers ordered -> keep the schema on the empty frame
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
                             "c_name": pd.Series([], dtype=object)})
@@ -549,23 +541,18 @@ def q20_customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q21_parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
-    """Semi join via broadcast key set (SURVEY J3) + grouped count."""
-    # distributed distinct on the biggest table's key column (dim cardinality
-    # result) — the raw l_partkey column never reaches the driver
-    keys = np.sort(
-        np.asarray(_read(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey"))
-    )
-    keys_ref = ray.put(np.ascontiguousarray(keys))
-
-    def semi(t: pa.Table, ref=keys_ref) -> pa.Table:
-        ks = ray.get(ref)
-        vals = t["p_partkey"].to_numpy()
-        idx = np.clip(np.searchsorted(ks, vals), 0, len(ks) - 1)
-        return t.filter(pa.array(ks[idx] == vals))
+    """Semi join via budgeted key set (SURVEY J3) + grouped count: the
+    l_partkey set is distinct-ed distributed and broadcast only within
+    ``filter_by_keys``'s budget (joined-plan fallback above it)."""
+    from aws_medallion_datalake_ray.functions.joins import filter_by_keys
 
     out = (
-        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
-        .map_batches(semi, batch_format="pyarrow")
+        filter_by_keys(
+            _read(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+            "p_partkey",
+            _read(sf_dir, "lineitem", columns=["l_partkey"]),
+            right_col="l_partkey",
+        )
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_parts"))
         .to_pandas()
@@ -1182,27 +1169,39 @@ def q36_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
 
 def q37_regional_supplier_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5-shaped multiway join (region -> nation -> supplier ->
-    lineitem): the three dim hops collapse into ONE broadcast suppkey ->
-    nation-name map built driver-side from the small tables, so the 100-TB
-    fact side does a single map_batches lookup + in-batch combine — no
-    all-to-all join for star topologies whose dim chain fits in the object
-    store."""
+    lineitem): the two CONSTANT-size dims (region 5 rows, nation 25) fold
+    into a driver dict, the SF-scaling supplier hop stays a Dataset carried
+    by budgeted ``attach_lookup`` (broadcast within its count+byte budget,
+    co-partitioned ``Dataset.join`` above it), so the 100-TB fact side does
+    a single vectorized lookup + in-batch combine and no SF-growing map
+    ever rides the driver heap."""
+    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
     asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
     nat = nation[nation["n_regionkey"].isin(asia)]
-    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    supp = supp[supp["s_nationkey"].isin(nkey_to_name)]
-    supp_to_nation = dict(zip(supp["s_suppkey"],
-                              supp["s_nationkey"].map(nkey_to_name)))
-    ref = ray.put(supp_to_nation)
+    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))  # <=25 keys
 
-    def partial(t: pa.Table, ref=ref) -> pa.Table:
-        m = ray.get(ref)
-        names = pd.Series(t["l_suppkey"].to_pandas()).map(m)
+    def supp_map(t: pa.Table) -> pa.Table:
+        names = pd.Series(t["s_nationkey"].to_pandas()).map(nkey_to_name)
         keep = names.notna().to_numpy()
+        return pa.table({
+            "s_suppkey": pa.array(
+                t["s_suppkey"].to_numpy(zero_copy_only=False)[keep]),
+            "n_name": pa.array(names[keep], pa.string()),
+        })
+
+    supp_ds = _read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"]).map_batches(
+        supp_map, batch_format="pyarrow")
+    li = attach_lookup(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"]),
+        supp_ds, "l_suppkey", "s_suppkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["n_name"]).to_numpy(zero_copy_only=False)
         if not keep.any():
             return pa.table({"n_name": pa.array([], pa.string()),
                              "p_c": pa.array([], pa.int64()),
@@ -1211,7 +1210,7 @@ def q37_regional_supplier_revenue(sf_dir: str) -> pd.DataFrame:
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
         cents4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
         return (
-            pa.table({"n_name": pa.array(names[keep], pa.string()),
+            pa.table({"n_name": pc.drop_null(t["n_name"]),
                       "p_c": pa.array(np.asarray(cents4)[keep]),
                       "p_n": pa.array(np.ones(int(keep.sum()), np.int64))})
             .group_by("n_name")
@@ -1220,9 +1219,7 @@ def q37_regional_supplier_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        _read(sf_dir, "lineitem",
-              columns=["l_suppkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("p_c", alias_name="c"), Sum("p_n", alias_name="n"))
         .to_pandas()
@@ -2448,32 +2445,23 @@ def q63_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q17-shaped DECORRELATED subquery: revenue from below-average-
     quantity lineitems of one brand's parts.  The correlated
     ``l_quantity < 0.2 * (SELECT avg ... WHERE same part)`` decorrelates
-    into (1) broadcast brand-part keyset -> semi-filter the fact table
-    once, materialized for reuse; (2) per-part sum/count partial aggregate
-    (exact: quantities are integral doubles); (3) budgeted
+    into (1) budgeted brand-part keyset (``filter_by_keys``: broadcast
+    within budget, co-partitioned join above it) -> semi-filter the fact
+    table once, materialized for reuse; (2) per-part sum/count partial
+    aggregate (exact: quantities are integral doubles); (3) budgeted
     ``attach_lookup`` joins each row its part's threshold back; (4) batch
     filter + cents rollup.  No row of lineitem is read twice from storage
     and no O(parts) state lands on the driver."""
-    from aws_medallion_datalake_ray.functions.joins import attach_lookup
+    from aws_medallion_datalake_ray.functions.joins import (
+        attach_lookup, filter_by_keys)
 
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand"])
-    keys = np.sort(
-        part.filter(pc.equal(part["p_brand"], "Brand#13"))["p_partkey"]
-        .to_numpy(zero_copy_only=False))
-    keys_ref = ray.put(keys)
-
-    def semi(t: pa.Table, ref=keys_ref) -> pa.Table:
-        k = ray.get(ref)
-        return t.filter(pa.array(
-            np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), k)))
-
-    li = (
+    brand_keys = _read(sf_dir, "part", columns=["p_partkey"],
+                       filter=(pc.field("p_brand") == "Brand#13"))
+    li = filter_by_keys(
         _read(sf_dir, "lineitem",
-              columns=["l_partkey", "l_quantity", "l_extendedprice"])
-        .map_batches(semi, batch_format="pyarrow")
-        .materialize()  # reused by the stats pass and the threshold pass
-    )
+              columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        "l_partkey", brand_keys, right_col="p_partkey",
+    ).materialize()  # reused by the stats pass and the threshold pass
 
     def stat_partial(t: pa.Table) -> pa.Table:
         return (
@@ -2889,25 +2877,25 @@ def q69_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     nkey = int(nation.loc[nation["n_name"] == "NATION_3",
                           "n_nationkey"].iloc[0])
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_name", "s_nationkey"])
-    supp = supp.filter(pc.equal(supp["s_nationkey"], nkey))
-    name_of = dict(zip(supp["s_suppkey"].to_pylist(),
-                       supp["s_name"].to_pylist()))
+    # the one-nation supplier name map GROWS with SF — carry it as a
+    # Dataset through budgeted attach_lookup (broadcast within budget,
+    # co-partitioned join above it), never a driver-held dict
+    supp_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+                    filter=(pc.field("s_nationkey") == nkey))
+    named = attach_lookup(per_order, supp_ds, "ls", "s_suppkey")
 
     def count_partial(t: pa.Table) -> pa.Table:
-        names = pd.Series(t["ls"].to_pandas()).map(name_of)
-        keep = names.notna().to_numpy()
+        names = pc.drop_null(t["s_name"])
         return (
-            pa.table({"s_name": pa.array(names[keep], pa.string()),
-                      "p_w": pa.array(np.ones(int(keep.sum()), np.int64))})
+            pa.table({"s_name": names,
+                      "p_w": pa.array(np.ones(len(names), np.int64))})
             .group_by("s_name")
             .aggregate([("p_w", "sum")])
             .rename_columns(["s_name", "p_w"])
         )
 
     out = (
-        per_order.map_batches(count_partial, batch_format="pyarrow")
+        named.map_batches(count_partial, batch_format="pyarrow")
         .groupby("s_name")
         .aggregate(Sum("p_w", alias_name="numwait"))
         .to_pandas()
@@ -2945,22 +2933,28 @@ def q70_sales_opportunity(sf_dir: str) -> pd.DataFrame:
     s = int(agg["sum(p_s)"] if "sum(p_s)" in agg else agg["s"])
     cnt = int(agg["sum(p_n)"] if "sum(p_n)" in agg else agg["cnt"])
 
-    okeys = np.sort(np.asarray(
-        _read(sf_dir, "orders", columns=["o_custkey"],
-              filter=(pc.field("o_orderdate") >= cutoff)).unique("o_custkey")))
-    keys_ref = ray.put(np.ascontiguousarray(okeys))
+    from aws_medallion_datalake_ray.functions.joins import filter_by_keys
 
-    def qualify(t: pa.Table, ref=keys_ref) -> pa.Table:
-        ks = ray.get(ref)
+    def rich_only(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
                                              pa.scalar(100.0))), pa.int64())
-        cents_np = cents.to_numpy(zero_copy_only=False)
         t = t.append_column("cents", cents)
-        rich = cents_np * cnt > s
-        vals = t["c_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(ks, vals), 0, len(ks) - 1)
-        ordered = ks[idx] == vals
-        t = t.filter(pa.array(rich & ~ordered))
+        rich = cents.to_numpy(zero_copy_only=False) * cnt > s
+        return t.filter(pa.array(rich))
+
+    # anti join against the recent-orders custkey set: budgeted broadcast
+    # (vectorized searchsorted per batch) with a co-partitioned Dataset.join
+    # fallback above budget — the set is distinct-ed DISTRIBUTED and never
+    # rides the driver heap at scale
+    qualified = filter_by_keys(
+        cust.map_batches(rich_only, batch_format="pyarrow"),
+        "c_custkey",
+        _read(sf_dir, "orders", columns=["o_custkey"],
+              filter=(pc.field("o_orderdate") >= cutoff)),
+        right_col="o_custkey", anti=True,
+    )
+
+    def part_agg(t: pa.Table) -> pa.Table:
         return (
             pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64()),
                       "p_n": pa.array(np.ones(len(t), np.int64)),
@@ -2971,7 +2965,7 @@ def q70_sales_opportunity(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        cust.map_batches(qualify, batch_format="pyarrow")
+        qualified.map_batches(part_agg, batch_format="pyarrow")
         .groupby("nationkey")
         .aggregate(Sum("p_n", alias_name="numcust"),
                    Sum("p_c", alias_name="c"))

@@ -28,9 +28,11 @@ def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int]:
     out: set[int] = set()
     for part in spec.split(","):
         step = 1
+        has_step = False
         if "/" in part:
             part, step_s = part.split("/", 1)
             step = int(step_s)
+            has_step = True
             if step <= 0:
                 raise ValueError(f"bad cron step {step_s!r}")
         if part in ("*", "?"):
@@ -39,7 +41,11 @@ def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int]:
             a_s, b_s = part.split("-", 1)
             a, b = int(a_s), int(b_s)
         else:
-            a = b = int(part)
+            a = int(part)
+            # cron/EventBridge 'a/step' = start at a, every step up to the
+            # field max ("0/10" minutes = :00 :10 :20 ...), NOT the single
+            # value {a}
+            b = hi if has_step else a
         if not (lo <= a <= hi and lo <= b <= hi and a <= b):
             raise ValueError(f"cron field {spec!r} out of range [{lo},{hi}]")
         out.update(range(a, b + 1, step))
@@ -48,28 +54,44 @@ def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int]:
 
 def parse_cron(expr: str) -> tuple[frozenset[int], ...]:
     """Parse ``m h dom mon dow`` (or EventBridge ``cron(m h dom mon dow y)``;
-    the year field is validated as numeric-or-star and otherwise ignored)."""
+    the year field is validated as numeric-or-star and otherwise ignored).
+
+    dow domains differ: standard cron is 0-7 with both 0 and 7 = Sunday;
+    EventBridge's ``cron(...)`` 6-field form is 1-7 = SUN-SAT, so a numeric
+    dow arriving in that form is shifted down by one (``cron(0 2 ? * 1 *)``
+    fires SUNDAY, not Monday).  A bare 6-field string without the wrapper
+    keeps standard-cron dow."""
     e = expr.strip()
+    eventbridge = False
     if e.startswith("cron(") and e.endswith(")"):
         e = e[5:-1]
+        eventbridge = True
     fields = e.split()
     if len(fields) == 6:
         year = fields[5]
         if year not in ("*", "?") and not year.replace("-", "").isdigit():
             raise ValueError(f"bad year field {year!r}")
         fields = fields[:5]
+    else:
+        eventbridge = False  # EventBridge expressions are always 6-field
     if len(fields) != 5:
         raise ValueError(f"cron {expr!r}: want 5 (or EventBridge 6) fields")
+    ranges = list(_FIELD_RANGES)
+    if eventbridge:
+        ranges[4] = (1, 7)  # EventBridge dow: 1-7 = SUN-SAT
     parsed = [
         _parse_field(f, lo, hi)
-        for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+        for f, (lo, hi) in zip(fields, ranges)
     ]
-    # normalize Sunday: 7 -> 0
-    dow = set(parsed[4])
-    if 7 in dow:
-        dow.discard(7)
-        dow.add(0)
-    parsed[4] = frozenset(dow)
+    if eventbridge:
+        parsed[4] = frozenset(v - 1 for v in parsed[4])  # SUN-SAT -> 0-6
+    else:
+        # normalize standard-cron Sunday: 7 -> 0
+        dow = set(parsed[4])
+        if 7 in dow:
+            dow.discard(7)
+            dow.add(0)
+        parsed[4] = frozenset(dow)
     return tuple(parsed)
 
 

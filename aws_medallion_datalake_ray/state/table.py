@@ -212,26 +212,39 @@ def prune_files(files: list[DataFile], predicate: Predicate | None) -> list[Data
             if st is None:
                 continue
             if op in ("==", "in") and st.get("bloom") is not None:
-                if not bloom_may_contain_any(st["bloom"], val):
+                # hint = the column's native-typed min stat, so a probe
+                # constant in a different numeric type (5.0 vs int64 col)
+                # is cast into the build hash domain instead of silently
+                # missing; unmappable probes keep the file (conservative)
+                if not bloom_may_contain_any(st["bloom"], val,
+                                             hint=st.get("min")):
                     keep = False
                     break
             lo, hi = st.get("min"), st.get("max")
-            if op == "==" and (
-                (lo is not None and val < lo) or (hi is not None and val > hi)
-            ):
-                keep = False
-            elif op == "in":
-                vals = sorted(val)
-                if (lo is not None and vals[-1] < lo) or (hi is not None and vals[0] > hi):
+            try:
+                if op == "==" and (
+                    (lo is not None and val < lo) or (hi is not None and val > hi)
+                ):
                     keep = False
-            elif op == "<" and lo is not None and lo >= val:
-                keep = False
-            elif op == "<=" and lo is not None and lo > val:
-                keep = False
-            elif op == ">" and hi is not None and hi <= val:
-                keep = False
-            elif op == ">=" and hi is not None and hi < val:
-                keep = False
+                elif op == "in":
+                    # NULL list elements match nothing under IN — drop them;
+                    # an all-NULL list can match no row at all
+                    vals = sorted(v for v in val if v is not None)
+                    if not vals:
+                        keep = False
+                    elif (lo is not None and vals[-1] < lo) or \
+                            (hi is not None and vals[0] > hi):
+                        keep = False
+                elif op == "<" and lo is not None and lo >= val:
+                    keep = False
+                elif op == "<=" and lo is not None and lo > val:
+                    keep = False
+                elif op == ">" and hi is not None and hi <= val:
+                    keep = False
+                elif op == ">=" and hi is not None and hi < val:
+                    keep = False
+            except TypeError:
+                pass  # cross-type constant (str vs int col): never prune on it
             if not keep:
                 break
         if keep:
@@ -288,18 +301,40 @@ def _files_for_first_keys(
     from aws_medallion_datalake_ray.functions.bloom import bloom_may_contain_any
 
     out = []
+    probe = firsts  # may be re-typed ONCE into the stats' numeric domain
+    coerce_failed = False
     for f in files:
         st = f.stats.get(col)
         if st is None or st.get("min") is None or st.get("max") is None:
             out.append(f)
             continue
-        i = np.searchsorted(firsts, st["min"])
-        j = np.searchsorted(firsts, st["max"], side="right")
+        try:
+            i = np.searchsorted(probe, st["min"])
+            j = np.searchsorted(probe, st["max"], side="right")
+        except TypeError:
+            # delete_keys key sets arrive STRINGIFIED (joined-key contract)
+            # while a numeric key column's stats are native ints/floats —
+            # re-type the key set into the column domain once so range AND
+            # bloom pruning stay exact; un-coercible -> keep every file
+            # (conservative: pruning may only ever prove absence)
+            if not coerce_failed:
+                try:
+                    probe = np.sort(np.array(
+                        [type(st["min"])(x) for x in firsts]))
+                    i = np.searchsorted(probe, st["min"])
+                    j = np.searchsorted(probe, st["max"], side="right")
+                except (TypeError, ValueError):
+                    coerce_failed = True
+                    out.append(f)
+                    continue
+            else:
+                out.append(f)
+                continue
         if i >= j:
             continue
         bl = st.get("bloom")
         if bl is not None and (j - i) <= probe_cap and \
-                not bloom_may_contain_any(bl, firsts[i:j]):
+                not bloom_may_contain_any(bl, probe[i:j], hint=st["min"]):
             continue
         out.append(f)
     return out
@@ -778,10 +813,12 @@ class LakeTable:
         data dir; its GC never touches foreign absolute paths.
 
         ``pin_source=True`` tags the source snapshot
-        (``clone-<dest basename>``) so source retention cannot expire the
-        files the clone references — the vacuum-breaks-shallow-clones hazard
-        Delta documents is closed by construction here; drop the tag when
-        the clone is deleted or deep-copied.  Complements branches: a branch
+        (``clone-<dest basename>-<snapshot id>`` — the snapshot id keeps
+        pins for same-named dest paths from overwriting each other) so
+        source retention cannot expire the files the clone references — the
+        vacuum-breaks-shallow-clones hazard Delta documents is closed by
+        construction here; drop the tag when the clone is deleted or
+        deep-copied.  Complements branches: a branch
         shares one commit tree and lock; a clone is a separate table (own
         lock, own retention) sharing only immutable data files."""
         snap = (self.store.head() if snapshot_id is None
@@ -819,8 +856,14 @@ class LakeTable:
         dest.store.commit(added, [], "clone", run_ts,
                           schema_json=snap.schema_json, summary=summary)
         if pin_source:
-            self.tag_snapshot(f"clone-{os.path.basename(dest_root.rstrip('/'))}",
-                              snap.snapshot_id)
+            pin = (f"clone-{os.path.basename(dest_root.rstrip('/'))}"
+                   f"-{snap.snapshot_id}")
+            prior = self.tags().get(pin)
+            if prior is not None and prior != snap.snapshot_id:
+                raise ValueError(
+                    f"clone pin {pin!r} already tags snapshot {prior}; "
+                    "refusing to re-point it (would un-pin a live clone)")
+            self.tag_snapshot(pin, snap.snapshot_id)
         return dest
 
     def overwrite(
@@ -2753,7 +2796,10 @@ class LakeTable:
                     runtime_filter=runtime_filter,
                 )
             removal_keys = rmd.unique("__rm_key")
-        raw = np.asarray(list(removal_keys), dtype=object)
+        # joined keys are string-typed (`_join_keys` str-casts each column);
+        # stringify non-str inputs (e.g. an int64 key array) to match
+        raw = np.array([x if isinstance(x, str) else str(x)
+                        for x in removal_keys], dtype=object)
         if len(raw) == 0:
             return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
         if strategy == "partitioned" or (

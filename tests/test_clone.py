@@ -53,7 +53,7 @@ def test_clone_diverges_independently(table, tmp_path):
 def test_clone_pins_source_snapshot_against_retention(table, tmp_path):
     src_head = table.store.head_id()
     table.clone_to(str(tmp_path / "dst"), run_ts=TS2)
-    assert table.tags().get("clone-dst") == src_head
+    assert table.tags().get(f"clone-dst-{src_head}") == src_head
     # churn + retention on the source: the pinned snapshot survives
     for seed in (1, 2, 3):
         table.overwrite(make_source_files(50, seed=seed), run_ts=TS2)
