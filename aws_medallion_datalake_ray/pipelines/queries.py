@@ -3634,30 +3634,56 @@ def q85_preceding_hour_counts(sf_dir: str) -> pd.DataFrame:
     from aws_medallion_datalake_ray.functions.dedup import _add_part, _PART
 
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    hour = np.timedelta64(3600, "s")
-
-    def frame_counts(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"], kind="stable")
-        out = np.empty(len(df), dtype=np.int64)
-        ts = df["ts"].to_numpy("datetime64[us]")
-        uids = df["user_id"].to_numpy()
-        bounds = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1], True])
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            seg = ts[a:b]
-            left = np.searchsorted(seg, seg - hour, side="left")
-            right = np.searchsorted(seg, seg, side="right")
-            out[a:b] = right - left
-        return pd.DataFrame({"event_id": df["event_id"],
-                             "user_id": df["user_id"], "ts": df["ts"],
-                             "n_last_hour": out})
 
     out = (
         ev.map_batches(_add_part(("user_id",), _npart()), batch_format="pyarrow")
         .groupby(_PART)
-        .map_groups(frame_counts, batch_format="pandas")
+        .map_groups(_q85_frame_counts, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+_Q85_HOUR_US = 3_600_000_000  # RANGE 1 HOUR PRECEDING, in microseconds
+
+
+def _q85_frame_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Interval-frame counts for one hash partition, loop-free: user
+    segments are lifted onto one globally-monotone axis by adding
+    ``segment_id * gap`` (gap > global span + 1h, so a query window
+    ``[ts-1h, ts]`` can never cross into a neighboring user's segment)
+    and the whole partition resolves as TWO ``searchsorted`` calls —
+    no per-user Python loop, so millions of tiny (2-event) users cost
+    the same per row as one huge user.  Falls back to the per-segment
+    loop only if the shifted axis would overflow int64 (needs ~1e18 µs
+    of segments × span — never at sane partition sizes)."""
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    n = len(df)
+    out = np.zeros(n, dtype=np.int64)
+    if n:
+        ts = df["ts"].to_numpy("datetime64[us]").view("i8")
+        ts = ts - ts.min()
+        uids = df["user_id"].to_numpy()
+        new = np.r_[True, uids[1:] != uids[:-1]]
+        seg = np.cumsum(new) - 1  # 0-based user-segment id per row
+        span = int(ts.max())
+        gap = span + _Q85_HOUR_US + 1
+        if int(seg[-1] + 1) * gap < 2 ** 62:
+            shifted = ts + seg * gap
+            left = np.searchsorted(shifted, shifted - _Q85_HOUR_US,
+                                   side="left")
+            right = np.searchsorted(shifted, shifted, side="right")
+            out = right - left
+        else:  # int64-overflow guard: per-segment two-pass fallback
+            bounds = np.flatnonzero(np.r_[new, True])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                s = ts[a:b]
+                out[a:b] = (np.searchsorted(s, s, side="right")
+                            - np.searchsorted(s, s - _Q85_HOUR_US,
+                                              side="left"))
+    return pd.DataFrame({"event_id": df["event_id"],
+                         "user_id": df["user_id"], "ts": df["ts"],
+                         "n_last_hour": out})
 
 
 def q86_decontamination(sf_dir: str) -> pd.DataFrame:
@@ -3815,66 +3841,142 @@ def _pairwise_levenshtein(a: np.ndarray, la: np.ndarray,
     return res
 
 
-def q89_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
-    """Fuzzy entity matching (edit-distance ≤ 1 name pairs over a bounded
-    entity slice — the entity-resolution blocking pattern): d≤1 implies |len(a)-len(b)|≤1,
-    so every name fans out to length buckets {len, len+1}, pairs resolve in
-    bucket max(len_a, len_b) exactly once, and each bucket's candidates run
-    through ONE pair-vectorized Levenshtein DP — no O(n²) over the corpus,
-    no Python-per-pair loop.  Oracle: DuckDB levenshtein self-join."""
+_Q89_NBANDS = 8        # first/second-char band fan-out (second blocking key)
+_Q89_PAIR_BUDGET = 4_000_000  # max candidate pairs materialized at once
+
+
+def _q89_char_bands(names: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Each name's TWO band keys — band(first char) and band(second char)
+    (second falls back to first for 1-char names).  Coverage proof for
+    d≤1 pairs: an edit at position ≥1 preserves the first char (shared
+    band(c0)); a substitution at 0 preserves the second (shared
+    band(c1)); an insertion/deletion at 0 shifts a's first char to b's
+    second (band(a0)=band(b1)).  So every d≤1 pair shares ≥1 band.
+    Vectorized: U1 slices viewed as uint32 codepoints, no Python loop."""
+    first = np.array(names.str.slice(0, 1).fillna(""), dtype="U1")
+    second = np.array(names.str.slice(1, 2).fillna(""), dtype="U1")
+    c0 = first.view(np.uint32).astype(np.int64)   # "" -> 0
+    c1 = second.view(np.uint32).astype(np.int64)
+    b0 = c0 % _Q89_NBANDS
+    b1 = np.where(c1 > 0, c1 % _Q89_NBANDS, b0)
+    return b0, b1
+
+
+def _q89_fan_out(t: pa.Table) -> pa.Table:
+    """Blocking fan-out on (max-length bucket, char band): each name goes
+    to length buckets {len, len+1} × its (≤2) distinct char bands — ≤4
+    rows per name.  Bucket-1 groups (single-char pairs have no second
+    char to band on) collapse to band 0.  Composite partition key
+    ``bucket * NBANDS + band``."""
     from aws_medallion_datalake_ray.functions.dedup import _PART
 
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"],
-                 filter=(pc.field("p_partkey") < 500))
+    names = t["p_name"].to_pandas()
+    ln = names.str.len().to_numpy(np.int64)
+    keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+    b0, b1 = _q89_char_bands(names)
+    parts, idx = [], []
+    for bucket in (ln, ln + 1):
+        for band in (b0, b1):
+            eff = np.where(bucket <= 1, 0, band)
+            parts.append(bucket * _Q89_NBANDS + eff)
+            idx.append(np.arange(len(names)))
+    part_key = np.concatenate(parts)
+    rows = np.concatenate(idx)
+    df = pd.DataFrame({"row": rows, _PART: part_key}).drop_duplicates()
+    r = df["row"].to_numpy()
+    return pa.table({
+        "p_partkey": keys[r],
+        "p_name": pa.array(names.to_numpy(dtype=object)[r], pa.string()),
+        "ln": ln[r], "b0": b0[r], "b1": b1[r],
+        _PART: df[_PART].to_numpy(),
+    })
 
-    def fan_out(t: pa.Table) -> pa.Table:
-        names = t["p_name"].to_pandas()
-        ln = names.str.len().to_numpy(np.int64)
-        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "p_partkey": np.concatenate([keys, keys]),
-            "p_name": pa.array(pd.concat([names, names], ignore_index=True)),
-            "ln": np.concatenate([ln, ln]),
-            _PART: np.concatenate([ln, ln + 1]),
-        })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(df[_PART].iloc[0])
-        df = df.drop_duplicates("p_partkey").sort_values("p_partkey")
-        names = df["p_name"].to_numpy(dtype=object)
-        ln = df["ln"].to_numpy(np.int64)
-        keys = df["p_partkey"].to_numpy(np.int64)
-        n = len(df)
-        empty = pd.DataFrame({
-            "key_a": pd.Series([], dtype="int64"),
-            "key_b": pd.Series([], dtype="int64"),
-            "name_a": pd.Series([], dtype=object),
-            "name_b": pd.Series([], dtype=object),
-            "dist": pd.Series([], dtype="int64")})
-        if n < 2:
-            return empty
-        ia, ib = np.triu_indices(n, k=1)
-        # pair resolves HERE iff max(len) == bucket and |len diff| <= 1
+def _q89_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Pairs within one (length-bucket, band) group.  A pair resolves
+    HERE iff max(len)==bucket AND its MINIMUM shared band == this band —
+    each d≤1 pair resolves in exactly one group.  Mega-group guard:
+    above a pair budget, candidate (i,j) index pairs generate in row
+    CHUNKS (exact — nothing dropped) so peak memory is bounded by the
+    budget instead of O(n²) for a heavy same-length, same-band corpus."""
+    from aws_medallion_datalake_ray.functions.dedup import _PART
+
+    key = int(df[_PART].iloc[0])
+    bucket, band = key // _Q89_NBANDS, key % _Q89_NBANDS
+    df = df.drop_duplicates("p_partkey").sort_values("p_partkey")
+    names = df["p_name"].to_numpy(dtype=object)
+    ln = df["ln"].to_numpy(np.int64)
+    keys = df["p_partkey"].to_numpy(np.int64)
+    b0 = df["b0"].to_numpy(np.int64)
+    b1 = df["b1"].to_numpy(np.int64)
+    n = len(df)
+    empty = pd.DataFrame({
+        "key_a": pd.Series([], dtype="int64"),
+        "key_b": pd.Series([], dtype="int64"),
+        "name_a": pd.Series([], dtype=object),
+        "name_b": pd.Series([], dtype=object),
+        "dist": pd.Series([], dtype="int64")})
+    if n < 2:
+        return empty
+    L = int(ln.max())
+    mat = np.zeros((n, max(L, 1)), dtype=np.uint8)
+    for k, s in enumerate(names):
+        bs = s.encode()
+        mat[k, :len(bs)] = np.frombuffer(bs, np.uint8)
+    INF = np.int64(_Q89_NBANDS)
+
+    def resolve(ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
         keep = (np.maximum(ln[ia], ln[ib]) == bucket) & \
             (np.abs(ln[ia] - ln[ib]) <= 1)
+        if bucket > 1:
+            # min shared band across the 2x2 band-key cross product
+            shared = np.minimum.reduce([
+                np.where(x[ia] == y[ib], x[ia], INF)
+                for x in (b0, b1) for y in (b0, b1)])
+            keep &= shared == band
         ia, ib = ia[keep], ib[keep]
         if len(ia) == 0:
             return empty
-        L = int(ln.max())
-        mat = np.zeros((n, L), dtype=np.uint8)
-        for k, s in enumerate(names):
-            bs = s.encode()
-            mat[k, :len(bs)] = np.frombuffer(bs, np.uint8)
         d = _pairwise_levenshtein(mat[ia], ln[ia], mat[ib], ln[ib])
         ok = d <= 1
         return pd.DataFrame({"key_a": keys[ia[ok]], "key_b": keys[ib[ok]],
                              "name_a": names[ia[ok]], "name_b": names[ib[ok]],
                              "dist": d[ok]})
 
+    if n * (n - 1) // 2 <= _Q89_PAIR_BUDGET:
+        ia, ib = np.triu_indices(n, k=1)
+        return resolve(ia, ib)
+    chunk = max(1, _Q89_PAIR_BUDGET // n)
+    outs = []
+    for i0 in range(0, n - 1, chunk):
+        rows = np.arange(i0, min(i0 + chunk, n - 1))
+        cnt = n - 1 - rows
+        ia = np.repeat(rows, cnt)
+        ib = np.concatenate([np.arange(r + 1, n) for r in rows])
+        outs.append(resolve(ia, ib))
+    return pd.concat(outs, ignore_index=True)
+
+
+def q89_fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy entity matching (edit-distance ≤ 1 name pairs over a bounded
+    entity slice — the entity-resolution blocking pattern): d≤1 implies
+    |len(a)-len(b)|≤1 and (proof at ``_q89_char_bands``) a shared
+    first/second-char band, so every name fans out to (length bucket,
+    char band) blocks, pairs resolve in block (max len, min shared band)
+    exactly once, and each block's candidates run through ONE
+    pair-vectorized Levenshtein DP — no O(n²) over the corpus, no
+    Python-per-pair loop, and a pair-budget chunker bounds memory even
+    when a degenerate corpus lands everything in one block.  Oracle:
+    DuckDB levenshtein self-join."""
+    from aws_medallion_datalake_ray.functions.dedup import _PART
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"],
+                 filter=(pc.field("p_partkey") < 500))
+
     out = (
-        part.map_batches(fan_out, batch_format="pyarrow")
+        part.map_batches(_q89_fan_out, batch_format="pyarrow")
         .groupby(_PART)
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_q89_bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
