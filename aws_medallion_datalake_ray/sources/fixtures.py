@@ -53,7 +53,11 @@ def make_source_files(n_rows: int, seed: int = 42, pair_offset: int = 0) -> pa.T
     n_pairs = max(4, int(n_rows / 1.8))
     versions = rng.integers(1, 6, n_pairs)
     cum = np.cumsum(versions)
-    n_pairs = int(np.searchsorted(cum, n_rows, side="left")) + 1
+    # clamp: if the drawn versions sum below n_rows (possible for small
+    # n_rows), searchsorted lands past the end — keep every pair and let
+    # the last-pair adjustment below absorb the shortfall
+    n_pairs = min(int(np.searchsorted(cum, n_rows, side="left")) + 1,
+                  len(versions))
     versions = versions[:n_pairs]
     versions[-1] = max(1, versions[-1] - (int(versions.sum()) - n_rows))
 
