@@ -470,12 +470,21 @@ def near_dup_candidate_count(
 
 
 def _bucket_pairs_fn(id_col: str, max_bucket: int):
-    """Candidate pairs within one LSH bucket, with a mega-bucket cap.
+    """Candidate pairs for EVERY LSH bucket hash-routed to one partition.
 
-    All-pairs for buckets up to ``max_bucket`` ids; above that, consecutive-
-    chain pairs under TWO independent orderings (sorted-id and hashed-id) —
-    2(n-1) pairs, O(n) instead of O(n²), bounding work when an all-similar
-    corpus lands every doc in one bucket.
+    Scale shape: the groupby key is a HASH PARTITION of the bucket space
+    (P = O(cluster CPUs) groups), never the bucket itself — a collision-rich
+    corpus has millions of buckets, and a per-bucket pandas group costs ~1 ms
+    of groupby machinery each (measured 8 min for the pair stage on a 50k-doc
+    / 220k-collision-bucket fixture; this shape runs it in seconds).  Inside
+    a partition one lexsort + run-boundary scan recovers the buckets and each
+    run emits vectorized.
+
+    Per-bucket semantics (unchanged): all-pairs (sorted ``triu``) up to
+    ``max_bucket`` ids; above that, consecutive-chain pairs under TWO
+    independent orderings (sorted-id and hashed-id) — 2(n-1) pairs, O(n)
+    instead of O(n²), bounding work when an all-similar corpus lands every
+    doc in one bucket.
 
     Recall tradeoff (documented, by design): chains preserve candidate-stage
     cluster *connectivity*, but if an adjacent chain pair later fails the
@@ -484,53 +493,77 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
     needs BOTH orderings to fail at the same frontier — while staying O(n);
     exhaustive recall inside mega-buckets would be O(n²) by definition."""
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        b = g["bucket"].to_numpy()
+        order = np.lexsort((ids, b))
+        b, ids = b[order], ids[order]
+        keep = np.ones(len(b), bool)  # drop (bucket, id) duplicates
+        keep[1:] = (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])
+        b, ids = b[keep], ids[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2:
+                continue
+            u = ids[s:e]  # unique AND ascending within this bucket
+            if m <= max_bucket:
+                ia, ib = np.triu_indices(m, k=1)
+                out_a.append(u[ia])
+                out_b.append(u[ib])
+            else:
+                perm = np.argsort(
+                    pd.util.hash_pandas_object(
+                        pd.Series(u), index=False).to_numpy(),
+                    kind="stable",
+                )
+                h = u[perm]
+                cand = pd.DataFrame(
+                    {
+                        "id_a": np.concatenate([u[:-1], np.minimum(h[:-1], h[1:])]),
+                        "id_b": np.concatenate([u[1:], np.maximum(h[:-1], h[1:])]),
+                    }
+                ).drop_duplicates()
+                out_a.append(cand["id_a"].to_numpy())
+                out_b.append(cand["id_b"].to_numpy())
+        if not out_a:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        if len(ids) <= max_bucket:
-            ia, ib = np.triu_indices(len(ids), k=1)
-            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-        perm = np.argsort(
-            pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy(),
-            kind="stable",
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
-        h = ids[perm]
-        out = pd.DataFrame(
-            {
-                "id_a": np.concatenate([ids[:-1], np.minimum(h[:-1], h[1:])]),
-                "id_b": np.concatenate([ids[1:], np.maximum(h[:-1], h[1:])]),
-            }
-        )
-        return out.drop_duplicates(["id_a", "id_b"])
 
-    return pairs_in_bucket
+    return pairs_in_part
 
 
 def _batch_jaccard(sets_a: list, sets_b: list) -> np.ndarray:
-    """Exact Jaccard for a BATCH of (unique-hash-set, unique-hash-set) pairs
-    in one vectorized pass: flatten all pairs' shingle arrays with a pair-id
-    column, one lexsort, duplicates-within-pair counted by ``bincount`` —
-    replaces a per-pair ``intersect1d`` Python loop (each of which re-sorted
-    its own concat) with a single numpy kernel over the whole batch."""
+    """Exact Jaccard for a BATCH of SORTED-unique hash-set pairs
+    (:func:`shingle_hashes64` returns ``np.unique`` output, so both sides
+    arrive sorted): per pair, one ``searchsorted`` of the smaller set into
+    the larger counts the intersection — O(la log lb) per pair with no
+    allocation beyond the index array.  Replaces a batch-wide
+    flatten+lexsort kernel whose O(T log T) sort over the batch's total
+    shingle count dominated the verify stage (measured ~10x slower at
+    ~1 KB docs / 4096-pair batches)."""
     n = len(sets_a)
     if n == 0:
         return np.empty(0, np.float64)
-    lens = np.fromiter(
-        (len(a) + len(b) for a, b in zip(sets_a, sets_b)), np.int64, n
-    )
-    if int(lens.sum()) == 0:  # all-empty pairs: union 0 -> similarity 1.0
-        return np.ones(n, np.float64)
-    vals = np.concatenate([x for ab in zip(sets_a, sets_b) for x in ab])
-    pid = np.repeat(np.arange(n, dtype=np.int64), lens)
-    order = np.lexsort((vals, pid))
-    v, p = vals[order], pid[order]
-    # each doc's shingle set is unique, so a value appears at most twice per
-    # pair — every adjacent equal (pid, value) is one intersection element
-    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
-    inter = np.bincount(p[1:][dup], minlength=n)
-    union = lens - inter
-    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    out = np.empty(n, np.float64)
+    for i in range(n):
+        a, b = sets_a[i], sets_b[i]
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            out[i] = 1.0 if la == lb else 0.0  # union 0 -> similarity 1.0
+            continue
+        if lb < la:
+            a, b, la, lb = b, a, lb, la
+        idx = np.searchsorted(b, a)
+        idx[idx == lb] = lb - 1  # clamp: a-values above b's max match nothing
+        inter = int(np.count_nonzero(b[idx] == a))
+        out[i] = inter / (la + lb - inter)
+    return out
 
 
 class PairVerifier:
@@ -540,6 +573,12 @@ class PairVerifier:
     (docs repeat across many pairs); all intersections of a batch run in one
     vectorized :func:`_batch_jaccard` kernel."""
 
+    # shingle arrays inflate ~8x over text bytes (8 B/char); an unbounded
+    # cache over a 256 MB broadcast therefore approaches 2 GB per actor.
+    # Cap the cached hash count (~128 MB) and reset — pairs arrive grouped
+    # by id_a after the pair dedup, so locality survives a reset
+    _CACHE_MAX_HASHES = 16_000_000
+
     def __init__(self, texts_ref, id_cols=("id_a", "id_b"), shingle_k: int = 5):
         import ray as _ray
 
@@ -547,12 +586,17 @@ class PairVerifier:
         self.id_a, self.id_b = id_cols
         self.k = shingle_k
         self._cache: dict = {}
+        self._cached_hashes = 0
 
     def _sh(self, i):
         s = self._cache.get(i)
         if s is None:
             s = shingle_hashes64(self.texts[i], self.k)
+            if self._cached_hashes + len(s) > self._CACHE_MAX_HASHES:
+                self._cache.clear()
+                self._cached_hashes = 0
             self._cache[i] = s
+            self._cached_hashes += len(s)
         return s
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -642,10 +686,24 @@ def near_dup_pairs(
     )
     from aws_medallion_datalake_ray.functions.blocks import rebundle
 
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nparts_pairs = max(8, 4 * ncpu)
+
+    def _tag_bucket_part(t: pa.Table) -> pa.Table:
+        part = (
+            t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(nparts_pairs)
+        ).astype(np.int32)
+        return t.append_column(_PART, pa.array(part))
+
     pairs = (
-        # (id, bucket) rows are ~16-24 B: rebundle so the bucket shuffle's
-        # pieces stream through plasma, not the driver heap (blocks.py)
-        rebundle(banded).groupby("bucket")
+        # (id, bucket) rows are ~16-24 B: rebundle so the partition shuffle's
+        # pieces stream through plasma, not the driver heap (blocks.py).
+        # Group key = bucket-hash PARTITION (P = O(CPUs) groups), not the
+        # bucket: per-bucket pandas groups cost ~1 ms each and a collision-
+        # rich corpus has millions of buckets (see _bucket_pairs_fn)
+        rebundle(banded).map_batches(_tag_bucket_part, batch_format="pyarrow")
+        .groupby(_PART)
         .map_groups(_bucket_pairs_fn(id_col, max_bucket), batch_format="pandas")
     )
     pairs = exact_dedup(pairs, ("id_a", "id_b"),
@@ -675,7 +733,6 @@ def near_dup_pairs(
             )
         )
 
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     if n_cand <= id_broadcast_threshold:
         cand_ids = np.array(sorted(ids_ds.unique("cid")))
         ids_ref = _ray.put(cand_ids)
@@ -719,6 +776,10 @@ def near_dup_pairs(
             PairVerifier,
             fn_constructor_kwargs={"texts_ref": texts_ref, "shingle_k": shingle_k},
             batch_format="pyarrow",
+            # block-sized batches build block-sized shingle buffers (the
+            # _batch_jaccard flatten is O(batch total shingles)) and starve
+            # the pool's load balancing; 4096 pairs bounds both
+            batch_size=4096,
             concurrency=concurrency,
         )
     else:
