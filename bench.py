@@ -230,7 +230,10 @@ def run_bench() -> dict:
     )
 
     qt: dict[str, float] = {}
-    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else SQL_QUERIES
+    # GRAFT_SKIP_SQL skips only the (fixed-size, SF_DIR-driven) query suite;
+    # GRAFT_SKIP_QUERIES additionally skips change_feed (scaling subprocesses)
+    skip_sql = os.environ.get("GRAFT_SKIP_QUERIES") or os.environ.get("GRAFT_SKIP_SQL")
+    queries = {} if skip_sql else SQL_QUERIES
     gold_build_sec = None
     if queries:
         # time the gold star-schema CONSTRUCTION separately so q28/q29/q31
