@@ -531,9 +531,13 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
                 out_b.append(cand["id_b"].to_numpy())
         if not out_a:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        # partition-local pre-dedup: a pair that collides in several bands
+        # often lands multiple of its buckets in the SAME partition — dropping
+        # the copies here shrinks the global pair-dedup shuffle (string-pair
+        # rows are the pipeline's widest narrow data) at zero recall cost
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
+        ).drop_duplicates(["id_a", "id_b"])
 
     return pairs_in_part
 
@@ -647,6 +651,8 @@ def near_dup_pairs(
     broadcast_bytes_budget: int = 256 * 1024 * 1024,
     id_broadcast_threshold: int = 5_000_000,
     concurrency=(2, 16),
+    verify_chunk_bytes: int = 256 << 20,
+    verify_chunk_min_pairs: int = 100_000,
 ):
     """MinHash+LSH near-duplicate pairs, fully distributed: returns a Dataset
     of (id_a, id_b, jaccard) with exact shingle-Jaccard >= threshold.
@@ -793,13 +799,70 @@ def near_dup_pairs(
         tb = cand_texts.map_batches(
             lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
         )
-        joined = pairs.join(ta, join_type="inner", num_partitions=nparts, on=("id_a",))
-        joined = joined.join(tb, join_type="inner", num_partitions=nparts, on=("id_b",))
-        verified = joined.map_batches(
-            _verify_pairs_texts,
-            fn_kwargs={"shingle_k": shingle_k},
-            batch_format="pyarrow",
-        )
+        # pairs x texts inflates each pair row by BOTH docs' text — a dense
+        # corpus (tens of millions of verified-candidate pairs) makes the
+        # hash-join aggregators hold pair_count/nparts x 2 x avg_text bytes
+        # EACH (measured: 6 GB/aggregator -> node OOM at 9.7M docs).  Cap
+        # per-aggregator memory by verifying in sequential pair CHUNKS
+        # (stable-hash split of the pair set): each chunk's join holds a
+        # bounded slice, verified narrow rows materialize, texts stream
+        # again next chunk — trading re-shuffles of the (materialized)
+        # candidate texts for O(1) memory at any pair density
+        n_pairs = pairs.count()
+        avg_text = cand_bytes / max(1, n_cand)
+        est_joined = n_pairs * (2.0 * avg_text + 96.0)
+        # floor each chunk at verify_chunk_min_pairs: Ray 2.49's hash join
+        # errors when a join partition's left side is built ONLY from 0-row
+        # blocks (schema-less empty table into Acero) — a shape only near-
+        # empty chunks can produce; healthy chunks populate every partition
+        n_chunks = max(1, min(
+            int(np.ceil(est_joined / (nparts * verify_chunk_bytes))),
+            int(n_pairs // max(1, verify_chunk_min_pairs)) or 1,
+        ))
+        LAST_VERIFY_PLAN.update(pairs=int(n_pairs), chunks=int(n_chunks))
+
+        def _chunk_fn(ci: int, nc: int):
+            def fn(t: pa.Table) -> pa.Table:
+                from aws_medallion_datalake_ray.functions.hashing import hash_cols
+
+                h = hash_cols(t["id_a"], t["id_b"])
+                return t.filter(pa.array((h % np.uint64(nc)) == np.uint64(ci)))
+
+            return fn
+
+        chunks_out = []
+        for ci in range(n_chunks):
+            if n_chunks == 1:
+                chunk = pairs
+            else:
+                # materialize the narrow (id_a, id_b) slice: an all-filtered
+                # chunk otherwise reaches the join schema-less (Acero errors
+                # on the missing key field), and skipping empties is free
+                chunk = pairs.map_batches(
+                    _chunk_fn(ci, n_chunks), batch_format="pyarrow"
+                ).materialize()
+                if chunk.count() == 0:
+                    continue
+            joined = chunk.join(ta, join_type="inner", num_partitions=nparts,
+                                on=("id_a",))
+            joined = joined.join(tb, join_type="inner", num_partitions=nparts,
+                                 on=("id_b",))
+            out = joined.map_batches(
+                _verify_pairs_texts,
+                fn_kwargs={"shingle_k": shingle_k},
+                batch_format="pyarrow",
+            ).filter(expr=f"jaccard >= {threshold}")
+            chunks_out.append(out.materialize() if n_chunks > 1 else out)
+        if not chunks_out:  # every chunk filtered empty
+            id_type = pairs.schema().base_schema.field("id_a").type
+            return _rd.from_arrow(pa.table({
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "jaccard": pa.array([], pa.float64()),
+            }))
+        if len(chunks_out) == 1:
+            return chunks_out[0]
+        return chunks_out[0].union(*chunks_out[1:])
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 

@@ -3025,6 +3025,8 @@ class LakeTable:
         job_id: str | None = None,
         broadcast_threshold: int = 2_000_000,
         policy: str = "pairs",
+        id_mode: str = "key",
+        verify_chunk_bytes: int = 256 << 20,
     ) -> dict[str, Any]:
         """Distributed near-duplicate REMOVAL, end-to-end on workers: MinHash+
         LSH candidates over ``text_col`` -> exact shingle-Jaccard verify ->
@@ -3051,13 +3053,45 @@ class LakeTable:
         only when it fits (``broadcast_threshold``) and otherwise runs the
         fully partitioned anti-join — nothing grows with the dup count on the
         driver.
+
+        ``id_mode``: what flows through the pair pipeline as the row id.
+        ``"key"`` (default) uses the ``\\x1f``-joined key string — the
+        SURVIVOR of each dup pair/cluster is the minimum-key row (stable,
+        human-meaningful).  ``"digest"`` uses a 128-bit hex digest of the
+        key (two independent SipHash-64 lanes): ids are fixed 32 bytes no
+        matter how wide the key, which shrinks the banding + pair shuffles
+        several-fold (a (repo, path, commit) key is ~90 B; a collision-rich
+        corpus shuffles O(colliding-rows x bands) id copies — measured
+        ~55 GB of spill at 9.7M docs with string ids vs in-budget with
+        digests).  The survivor becomes the minimum-DIGEST row: still
+        deterministic, but an arbitrary cluster member — the 100-TB mode,
+        where "which copy survives" is immaterial.  Verified dup digests
+        translate back to real keys with one column-pruned scan +
+        budgeted semi-join before :meth:`delete_keys`.
         """
         from aws_medallion_datalake_ray.functions.dedup import near_dup_pairs
 
+        if id_mode not in ("key", "digest"):
+            raise ValueError(f"unknown id_mode {id_mode!r}")
         key = tuple(key)
         ds = self.scan(columns=[*key, text_col])
 
+        def _digests(t: pa.Table) -> list:
+            import binascii
+
+            from aws_medallion_datalake_ray.functions.hashing import (
+                hash_batch_cols, hash_batch_cols_alt,
+            )
+
+            b = np.empty((len(t), 2), dtype=">u8")
+            b[:, 0] = hash_batch_cols(t, list(key))
+            b[:, 1] = hash_batch_cols_alt(t, list(key))
+            blob = binascii.hexlify(b.tobytes()).decode()
+            return [blob[i * 32:(i + 1) * 32] for i in range(len(t))]
+
         def add_id(t: pa.Table) -> pa.Table:
+            if id_mode == "digest":
+                return t.append_column("__nd_id", pa.array(_digests(t), pa.string()))
             return t.append_column("__nd_id", pa.array(_join_keys(t, key), pa.string()))
 
         pairs = near_dup_pairs(
@@ -3069,6 +3103,7 @@ class LakeTable:
             shingle_k=shingle_k,
             threshold=threshold,
             max_bucket=max_bucket,
+            verify_chunk_bytes=verify_chunk_bytes,
         )
         if policy == "cluster":
             # transitive: components over verified pairs; remove every node
@@ -3095,6 +3130,26 @@ class LakeTable:
             ).materialize()
         else:
             raise ValueError(f"unknown dedup_near policy {policy!r}")
+        if id_mode == "digest":
+            # translate dup digests -> real joined keys: one column-pruned
+            # scan (key cols only, no content) semi-joined against the digest
+            # set under the same broadcast/partitioned budget duality
+            from aws_medallion_datalake_ray.functions.joins import filter_by_keys
+
+            def _digest_and_key(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "__nd_id": pa.array(_digests(t), pa.string()),
+                    "rid": pa.array(_join_keys(t, key), pa.string()),
+                })
+
+            keyed = self.scan(columns=list(key)).map_batches(
+                _digest_and_key, batch_format="pyarrow"
+            )
+            rm = filter_by_keys(
+                keyed, "__nd_id", rm, count_budget=broadcast_threshold,
+            ).map_batches(
+                lambda t: pa.table({"rid": t["rid"]}), batch_format="pyarrow"
+            ).materialize()
         res = self.delete_keys(
             rm, key=key, run_ts=run_ts, job_id=job_id, operation="dedup-near",
             broadcast_threshold=broadcast_threshold,

@@ -91,10 +91,15 @@ def run_bench() -> dict:
     table = LakeTable.create(root)
     timings: dict[str, float] = {}
 
+    rss_after: dict[str, float] = {}
+
     def step(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # ru_maxrss is the PEAK so far: the first stage where this jumps is
+        # the one that materialized driver-side state (scale-leak bisect)
+        rss_after[name] = _driver_rss_mb()
         return out
 
     src_files = sorted(
@@ -279,6 +284,7 @@ def run_bench() -> dict:
         # claim (collision scan, change_feed, partitioned delete) — must stay
         # flat as GRAFT_BENCH_ROWS grows
         "driver_rss_mb": _driver_rss_mb(),
+        "rss_after_stage_mb": rss_after,
     }
     ray.shutdown()
     return result

@@ -63,12 +63,28 @@ def main() -> int:
 
     # --- near-dup REMOVAL (bench times only the candidate scan) ---------
     # Threshold-matched banding: removal targets the fixture's ~0.9-sim
-    # version chains, so 8 bands x 8 rows (LSH knee ~0.77) is the right
-    # parameterization — the default 16x4 banding's ~0.5 knee floods the
-    # verify stage with sub-threshold candidates on a templated corpus
-    # (standard MinHash practice: pick banding for the target threshold)
+    # version chains, so 6 bands x 10 rows (LSH knee ~0.84, ~92% per-pair
+    # recall at sim 0.9) is the right parameterization — the default 16x4
+    # banding's ~0.5 knee floods the verify stage with sub-threshold
+    # candidates on a templated corpus (standard MinHash practice: pick
+    # banding for the target threshold; 8x8's 0.77 knee still admitted
+    # ~100M sub-threshold pairs here and OOMed the verify join).
+    # max_bucket=64: this fixture is adversarially self-similar (every doc
+    # shares templated lines), so mid-size buckets' all-pairs triu emits
+    # O(sum m^2) pair rows — tens of GB of string pairs at 9.7M docs.  The
+    # documented mega-bucket knob switches those buckets to dual-ordering
+    # chains (O(m)); version chains share a (repo,path) prefix, so the
+    # sorted-id chain still links every adjacent version pair
+    # id_mode="digest": fixed 32-byte ids through the banding/pair shuffles
+    # instead of ~90-byte (repo,path,commit) strings — the string-id run
+    # spilled ~55 GB at 9.7M docs and hit OutOfDisk; digests fit
+    # verify_chunk_bytes=1 GiB: the verify join runs in sequential chunks
+    # sized to per-aggregator memory — 1 GiB/partition fits this node's
+    # 128 GB comfortably and quarters the chunk count (fewer text re-shuffles)
     dd = step("dedup_near_removal", lambda: t.dedup_near(
-        threshold=0.85, num_perm=64, bands=8, run_ts="2024-02-01T00:00:00"))
+        threshold=0.85, num_perm=64, bands=6, max_bucket=64,
+        id_mode="digest", verify_chunk_bytes=1 << 30,
+        run_ts="2024-02-01T00:00:00"))
 
     # --- branch: fork, diverge, scan both heads -------------------------
     step("create_branch", lambda: t.create_branch("rehearsal"))
