@@ -335,13 +335,15 @@ class BandEmitter(MinHasher):
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         return pd.DataFrame({self.id_col: ids, "bucket": b.reshape(-1).astype(np.int64)})
 
-    def emit_arrow(self, t: pa.Table) -> pa.Table:
-        """Arrow batch -> (id, bucket) rows without materializing Python
-        strings: ids replicate via ``Table.take`` (C-speed, works for string
-        ids too)."""
+    def emit_arrow(self, t: pa.Table, with_text: bool = False) -> pa.Table:
+        """Arrow batch -> (id[, text], bucket) rows without materializing
+        Python strings: columns replicate via ``Table.take`` (C-speed, works
+        for string ids too).  ``with_text=True`` carries the document text
+        alongside each banding row — the local-verify plan's payload."""
         b = self._fold_buckets(self.signatures_arrow(t[self.text_col]))
         idx = np.repeat(np.arange(len(t), dtype=np.int64), self.bands)
-        out = t.select([self.id_col]).take(pa.array(idx))
+        cols = [self.id_col] + ([self.text_col] if with_text else [])
+        out = t.select(cols).take(pa.array(idx))
         return out.append_column(
             "bucket", pa.array(b.reshape(-1).astype(np.int64))
         )
@@ -364,7 +366,7 @@ def band_emit_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
     return e(df)
 
 
-def band_emit_batch_arrow(t: pa.Table, **kw) -> pa.Table:
+def band_emit_batch_arrow(t: pa.Table, with_text: bool = False, **kw) -> pa.Table:
     """Arrow-native stateless banding task (``batch_format="pyarrow"``): the
     text column never materializes Python strings (the production path for
     the near-dup scan and pair pipeline); same per-worker emitter cache as
@@ -374,7 +376,7 @@ def band_emit_batch_arrow(t: pa.Table, **kw) -> pa.Table:
     if e is None:
         e = BandEmitter(**kw)
         _EMITTER_CACHE[k] = e
-    return e.emit_arrow(t)
+    return e.emit_arrow(t, with_text=with_text)
 
 
 def near_dup_candidate_count(
@@ -864,6 +866,165 @@ def near_dup_pairs(
             return chunks_out[0]
         return chunks_out[0].union(*chunks_out[1:])
     return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+def _local_verify_part_fn(id_col: str, text_col: str, max_bucket: int,
+                          shingle_k: int, threshold: float):
+    """Bucket-local candidate generation AND exact verify for one bucket-hash
+    partition: texts ride the banding shuffle, so every bucket's documents
+    are co-resident — pairs are generated positionally (same triu/dual-chain
+    semantics as :func:`_bucket_pairs_fn`) and verified immediately against a
+    per-partition shingle cache.  Only narrow verified (id_a, id_b, jaccard)
+    rows leave the task; no candidate-id distinct, no text semi-join, no
+    pairs x texts join ever materializes."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": g[id_col].to_numpy()[:0],
+            "id_b": g[id_col].to_numpy()[:0],
+            "jaccard": np.empty(0, np.float64),
+        })
+        b = g["bucket"].to_numpy()
+        ids = g[id_col].to_numpy()
+        txts = g[text_col].to_numpy()
+        order = np.lexsort((ids, b))
+        b, ids, txts = b[order], ids[order], txts[order]
+        keep = np.ones(len(b), bool)  # drop (bucket, id) duplicates
+        keep[1:] = (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])
+        b, ids, txts = b[keep], ids[keep], txts[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+
+        pos_a: list = []
+        pos_b: list = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2:
+                continue
+            if m <= max_bucket:
+                ia, ib = np.triu_indices(m, k=1)
+                pos_a.append(s + ia)
+                pos_b.append(s + ib)
+            else:
+                # dual-ordering chains (see _bucket_pairs_fn): positions are
+                # id-ascending within the run, so min/max position == min/max id
+                u = ids[s:e]
+                perm = np.argsort(
+                    pd.util.hash_pandas_object(
+                        pd.Series(u), index=False).to_numpy(),
+                    kind="stable",
+                )
+                q1, q2 = perm[:-1], perm[1:]
+                ca = np.concatenate([np.arange(m - 1), np.minimum(q1, q2)])
+                cb = np.concatenate([np.arange(1, m), np.maximum(q1, q2)])
+                uniq = np.unique(ca.astype(np.int64) * np.int64(m) + cb)
+                pos_a.append(s + (uniq // m))
+                pos_b.append(s + (uniq % m))
+        if not pos_a:
+            return empty
+        pa_idx = np.concatenate(pos_a)
+        pb_idx = np.concatenate(pos_b)
+
+        cache: dict = {}
+
+        def sh(i: int):
+            key = ids[i]
+            s_ = cache.get(key)
+            if s_ is None:
+                s_ = shingle_hashes64(txts[i], shingle_k)
+                cache[key] = s_
+            return s_
+
+        out_a: list = []
+        out_b: list = []
+        out_j: list = []
+        CHUNK = 200_000  # bound the per-slice shingle list
+        for c0 in range(0, len(pa_idx), CHUNK):
+            sl_a = pa_idx[c0:c0 + CHUNK]
+            sl_b = pb_idx[c0:c0 + CHUNK]
+            sims = _batch_jaccard([sh(i) for i in sl_a.tolist()],
+                                  [sh(i) for i in sl_b.tolist()])
+            hit = sims >= threshold
+            out_a.append(ids[sl_a[hit]])
+            out_b.append(ids[sl_b[hit]])
+            out_j.append(sims[hit])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "jaccard": np.concatenate(out_j),
+        })
+
+    return fn
+
+
+def near_dup_pairs_local(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 512,
+    num_partitions: int | None = None,
+):
+    """MinHash+LSH near-duplicate pairs with BUCKET-LOCAL verification — the
+    dense-corpus dual of :func:`near_dup_pairs`.
+
+    The joined verify plan shuffles candidate texts into a pairs x texts
+    hash join; when the corpus is collision-rich (template clones, version
+    chains — tens of millions of true candidate pairs), that join's
+    aggregators hold pair_count/partitions x 2 x text bytes each and OOM
+    long before the work is unreasonable (measured at 9.7M docs / ~80M
+    candidates on a 128 GB node).  Here the TEXT rides the banding shuffle
+    instead (one all-to-all of bands x corpus bytes), every bucket's docs
+    land co-resident in a bucket-hash partition, and each partition
+    generates AND verifies its pairs locally against a per-task shingle
+    cache — memory is O(partition), independent of pair density, and only
+    narrow verified rows shuffle again (the cross-band pair dedup).
+
+    Tradeoffs vs the joined plan (pick by corpus): text moves bands x once
+    (vs once for the candidate semi-join), so the SPARSE-corpus cost is
+    higher; the DENSE-corpus cost is bounded where the join plan's is
+    quadratic in density.  Identical output (same candidates, same exact
+    Jaccard) — plan equality is pytest-gated.
+    """
+    import ray as _ray
+
+    from aws_medallion_datalake_ray.functions.blocks import rebundle
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nparts = num_partitions or max(16, 8 * ncpu)
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        band_emit_batch_arrow,
+        fn_kwargs={
+            "id_col": id_col, "text_col": text_col, "bands": bands,
+            "num_perm": num_perm, "shingle_k": shingle_k, "with_text": True,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        part = (
+            t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(nparts)
+        ).astype(np.int32)
+        return t.append_column(_PART, pa.array(part))
+
+    verified = (
+        banded.map_batches(_tag, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(
+            _local_verify_part_fn(id_col, text_col, max_bucket, shingle_k,
+                                  threshold),
+            batch_format="pandas",
+        )
+    )
+    # a pair verifies once per shared band: distinct on (id_a, id_b) — the
+    # jaccard is exact and identical across copies, so keep-any is stable
+    return exact_dedup(verified, ("id_a", "id_b"), rebundle_narrow=True)
 
 
 def minhash_near_dups(

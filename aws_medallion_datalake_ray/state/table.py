@@ -3027,6 +3027,7 @@ class LakeTable:
         policy: str = "pairs",
         id_mode: str = "key",
         verify_chunk_bytes: int = 256 << 20,
+        verify: str = "join",
     ) -> dict[str, Any]:
         """Distributed near-duplicate REMOVAL, end-to-end on workers: MinHash+
         LSH candidates over ``text_col`` -> exact shingle-Jaccard verify ->
@@ -3068,11 +3069,22 @@ class LakeTable:
         where "which copy survives" is immaterial.  Verified dup digests
         translate back to real keys with one column-pruned scan +
         budgeted semi-join before :meth:`delete_keys`.
+
+        ``verify``: ``"join"`` (default) semi-joins candidate texts and
+        verifies via broadcast or chunked pairs x texts joins — texts move
+        once, the sparse-corpus plan; ``"local"`` carries texts on the
+        banding shuffle and verifies inside each bucket-hash partition
+        (``near_dup_pairs_local``) — memory O(partition) at ANY pair
+        density, the dense-corpus (template-clone / version-chain) plan.
         """
-        from aws_medallion_datalake_ray.functions.dedup import near_dup_pairs
+        from aws_medallion_datalake_ray.functions.dedup import (
+            near_dup_pairs, near_dup_pairs_local,
+        )
 
         if id_mode not in ("key", "digest"):
             raise ValueError(f"unknown id_mode {id_mode!r}")
+        if verify not in ("join", "local"):
+            raise ValueError(f"unknown verify {verify!r}")
         key = tuple(key)
         ds = self.scan(columns=[*key, text_col])
 
@@ -3094,17 +3106,29 @@ class LakeTable:
                 return t.append_column("__nd_id", pa.array(_digests(t), pa.string()))
             return t.append_column("__nd_id", pa.array(_join_keys(t, key), pa.string()))
 
-        pairs = near_dup_pairs(
-            ds.map_batches(add_id, batch_format="pyarrow"),
-            text_col=text_col,
-            id_col="__nd_id",
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-            threshold=threshold,
-            max_bucket=max_bucket,
-            verify_chunk_bytes=verify_chunk_bytes,
-        )
+        if verify == "local":
+            pairs = near_dup_pairs_local(
+                ds.map_batches(add_id, batch_format="pyarrow"),
+                text_col=text_col,
+                id_col="__nd_id",
+                num_perm=num_perm,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            )
+        else:
+            pairs = near_dup_pairs(
+                ds.map_batches(add_id, batch_format="pyarrow"),
+                text_col=text_col,
+                id_col="__nd_id",
+                num_perm=num_perm,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                max_bucket=max_bucket,
+                verify_chunk_bytes=verify_chunk_bytes,
+            )
         if policy == "cluster":
             # transitive: components over verified pairs; remove every node
             # that is not its component's minimum.  The edge set (not the

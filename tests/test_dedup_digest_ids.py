@@ -104,3 +104,42 @@ def test_chunked_joined_verify_matches_broadcast(ray_session):
     assert dd.LAST_VERIFY_PLAN["plan"] == "joined"
     assert dd.LAST_VERIFY_PLAN["chunks"] > 1
     pd.testing.assert_frame_equal(broad.to_pandas(), chunked)
+
+
+def test_local_verify_matches_broadcast_pairs(ray_session):
+    """near_dup_pairs_local (texts on the banding shuffle, bucket-local
+    verify) must produce the exact pair set + jaccards of the broadcast
+    plan, including through the mega-bucket chain path."""
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions import dedup as dd
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(40)]
+    texts += [t + " extra" for t in texts[:12]]
+    # one mega-clique: 20 docs sharing one long template -> a bucket > max_bucket
+    texts += ["tpl " * 40 + f"tail{i}" for i in range(20)]
+    corpus = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(corpus)
+
+    kw = dict(threshold=0.5, num_perm=64, bands=32, max_bucket=8)
+    broad = dd.minhash_near_dups(ds, **kw).to_pandas()
+    local = dd.near_dup_pairs_local(
+        ds, **kw).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    local["jaccard"] = local["jaccard"].astype(float)
+    pd.testing.assert_frame_equal(broad, local)
+
+
+def test_dedup_near_local_verify_digest(tmp_path, ray_session):
+    """The dense-corpus configuration (verify="local" + id_mode="digest")
+    removes exactly the planted dups."""
+    base, dups = _corpus()
+    t = LakeTable.create(str(tmp_path / "t"))
+    t.append(pa.concat_tables([base, dups]))
+
+    res = t.dedup_near(text_col="content", threshold=0.5,
+                       verify="local", id_mode="digest")
+    assert res["rows_deleted"] == 6
+    assert t.scan().count() == 40

@@ -78,12 +78,13 @@ def main() -> int:
     # id_mode="digest": fixed 32-byte ids through the banding/pair shuffles
     # instead of ~90-byte (repo,path,commit) strings — the string-id run
     # spilled ~55 GB at 9.7M docs and hit OutOfDisk; digests fit
-    # verify_chunk_bytes=1 GiB: the verify join runs in sequential chunks
-    # sized to per-aggregator memory — 1 GiB/partition fits this node's
-    # 128 GB comfortably and quarters the chunk count (fewer text re-shuffles)
+    # verify="local": texts ride the banding shuffle and every bucket-hash
+    # partition verifies its own pairs — memory O(partition) at any pair
+    # density.  The joined plan's pairs x texts hash join OOMed this node
+    # twice at ~80M candidate pairs (6 GB/aggregator) before this mode
     dd = step("dedup_near_removal", lambda: t.dedup_near(
         threshold=0.85, num_perm=64, bands=6, max_bucket=64,
-        id_mode="digest", verify_chunk_bytes=1 << 30,
+        id_mode="digest", verify="local",
         run_ts="2024-02-01T00:00:00"))
 
     # --- branch: fork, diverge, scan both heads -------------------------
