@@ -335,15 +335,31 @@ class BandEmitter(MinHasher):
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         return pd.DataFrame({self.id_col: ids, "bucket": b.reshape(-1).astype(np.int64)})
 
-    def emit_arrow(self, t: pa.Table, with_text: bool = False) -> pa.Table:
+    def emit_arrow(self, t: pa.Table, with_text: bool = False,
+                   compress_text: bool = False) -> pa.Table:
         """Arrow batch -> (id[, text], bucket) rows without materializing
         Python strings: columns replicate via ``Table.take`` (C-speed, works
         for string ids too).  ``with_text=True`` carries the document text
-        alongside each banding row — the local-verify plan's payload."""
+        alongside each banding row — the local-verify plan's payload;
+        ``compress_text=True`` zlib-compresses it ONCE per doc before the
+        bands-fold replication (the payload crosses the shuffle bands x, and
+        template-heavy corpora compress ~4x — the shuffle is network/disk
+        bound at scale, the codec is CPU on otherwise-idle map workers)."""
         b = self._fold_buckets(self.signatures_arrow(t[self.text_col]))
         idx = np.repeat(np.arange(len(t), dtype=np.int64), self.bands)
-        cols = [self.id_col] + ([self.text_col] if with_text else [])
-        out = t.select(cols).take(pa.array(idx))
+        if with_text and compress_text:
+            import zlib
+
+            z = pa.array(
+                [zlib.compress(s.encode("utf-8"), 1)
+                 for s in t[self.text_col].to_pylist()],
+                pa.binary(),
+            )
+            base = pa.table({self.id_col: t[self.id_col], "__ztext": z})
+            out = base.take(pa.array(idx))
+        else:
+            cols = [self.id_col] + ([self.text_col] if with_text else [])
+            out = t.select(cols).take(pa.array(idx))
         return out.append_column(
             "bucket", pa.array(b.reshape(-1).astype(np.int64))
         )
@@ -366,7 +382,8 @@ def band_emit_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
     return e(df)
 
 
-def band_emit_batch_arrow(t: pa.Table, with_text: bool = False, **kw) -> pa.Table:
+def band_emit_batch_arrow(t: pa.Table, with_text: bool = False,
+                          compress_text: bool = False, **kw) -> pa.Table:
     """Arrow-native stateless banding task (``batch_format="pyarrow"``): the
     text column never materializes Python strings (the production path for
     the near-dup scan and pair pipeline); same per-worker emitter cache as
@@ -376,7 +393,7 @@ def band_emit_batch_arrow(t: pa.Table, with_text: bool = False, **kw) -> pa.Tabl
     if e is None:
         e = BandEmitter(**kw)
         _EMITTER_CACHE[k] = e
-    return e.emit_arrow(t, with_text=with_text)
+    return e.emit_arrow(t, with_text=with_text, compress_text=compress_text)
 
 
 def near_dup_candidate_count(
@@ -869,7 +886,8 @@ def near_dup_pairs(
 
 
 def _local_verify_part_fn(id_col: str, text_col: str, max_bucket: int,
-                          shingle_k: int, threshold: float):
+                          shingle_k: int, threshold: float,
+                          compressed: bool = False):
     """Bucket-local candidate generation AND exact verify for one bucket-hash
     partition: texts ride the banding shuffle, so every bucket's documents
     are co-resident — pairs are generated positionally (same triu/dual-chain
@@ -931,7 +949,12 @@ def _local_verify_part_fn(id_col: str, text_col: str, max_bucket: int,
             key = ids[i]
             s_ = cache.get(key)
             if s_ is None:
-                s_ = shingle_hashes64(txts[i], shingle_k)
+                txt = txts[i]
+                if compressed:
+                    import zlib
+
+                    txt = zlib.decompress(txt).decode("utf-8")
+                s_ = shingle_hashes64(txt, shingle_k)
                 cache[key] = s_
             return s_
 
@@ -967,6 +990,7 @@ def near_dup_pairs_local(
     threshold: float = 0.7,
     max_bucket: int = 512,
     num_partitions: int | None = None,
+    compress_payload: bool = True,
 ):
     """MinHash+LSH near-duplicate pairs with BUCKET-LOCAL verification — the
     dense-corpus dual of :func:`near_dup_pairs`.
@@ -1001,10 +1025,15 @@ def near_dup_pairs_local(
         fn_kwargs={
             "id_col": id_col, "text_col": text_col, "bands": bands,
             "num_perm": num_perm, "shingle_k": shingle_k, "with_text": True,
+            # the payload crosses the shuffle bands x: zlib (level 1, C
+            # speed) compresses template-heavy corpora ~4x — the shuffle
+            # is disk/network bound, the codec rides idle map-worker CPU
+            "compress_text": compress_payload,
         },
         batch_format="pyarrow",
         batch_size=4096,
     )
+    payload_col = "__ztext" if compress_payload else text_col
 
     def _tag(t: pa.Table) -> pa.Table:
         part = (
@@ -1017,8 +1046,8 @@ def near_dup_pairs_local(
         banded.map_batches(_tag, batch_format="pyarrow")
         .groupby(_PART)
         .map_groups(
-            _local_verify_part_fn(id_col, text_col, max_bucket, shingle_k,
-                                  threshold),
+            _local_verify_part_fn(id_col, payload_col, max_bucket, shingle_k,
+                                  threshold, compressed=compress_payload),
             batch_format="pandas",
         )
     )
