@@ -1043,7 +1043,11 @@ def near_dup_pairs_local(
         return t.append_column(_PART, pa.array(part))
 
     verified = (
-        banded.map_batches(_tag, batch_format="pyarrow")
+        # rebundle BEFORE the partition shuffle: hundreds of banding output
+        # blocks x nparts reduce partitions = 10^5+ shuffle pieces whose
+        # driver-side metadata alone measured ~4 GB of driver heap at 2.4M
+        # docs; coalescing to O(CPUs) blocks caps pieces at blocks x nparts
+        rebundle(banded).map_batches(_tag, batch_format="pyarrow")
         .groupby(_PART)
         .map_groups(
             _local_verify_part_fn(id_col, payload_col, max_bucket, shingle_k,

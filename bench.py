@@ -97,8 +97,8 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # ru_maxrss is the PEAK so far: the first stage where this jumps is
-        # the one that materialized driver-side state (scale-leak bisect)
+        # RssAnon after each stage: the first stage where this jumps is the
+        # one that materialized driver-side state (scale-leak bisect)
         rss_after[name] = _driver_rss_mb()
         return out
 
@@ -291,9 +291,15 @@ def run_bench() -> dict:
 
 
 def _driver_rss_mb() -> float:
-    import resource
-
-    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+    """Driver PRIVATE heap (RssAnon, current): ru_maxrss / VmRSS also count
+    touched pages of the shared plasma mapping (bounded by the object-store
+    cap, reclaimed by Ray), which dwarfs and hides the driver's own state.
+    RssAnon is what grows if the driver accumulates per-row state."""
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("RssAnon:"):
+                return round(int(line.split()[1]) / 1024, 1)
+    return -1.0
 
 
 def run_scaling() -> dict:

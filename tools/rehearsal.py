@@ -23,9 +23,14 @@ import time
 
 
 def _rss_mb() -> float:
+    """Driver PRIVATE heap (RssAnon): VmRSS also counts touched pages of
+    the memory-mapped plasma segment (shared, bounded by the object-store
+    cap, reclaimed by Ray) — measured ~3 GB of shmem during a dedup run at
+    EVERY corpus size, which says nothing about driver state.  RssAnon is
+    what would grow if the driver accumulated per-row state."""
     with open("/proc/self/status") as fh:
         for line in fh:
-            if line.startswith("VmRSS:"):
+            if line.startswith("RssAnon:"):
                 return round(int(line.split()[1]) / 1024, 1)
     return -1.0
 
