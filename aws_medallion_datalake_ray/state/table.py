@@ -2371,6 +2371,7 @@ class LakeTable:
         dedup_partitions: int = 64,
         strategy: str = "auto",
         broadcast_threshold: int = 2_000_000,
+        broadcast_key_bytes: int = 256 << 20,
     ) -> dict[str, Any]:
         """MERGE INTO (upsert on ``key``): updates win on key collisions,
         new keys insert, exact re-sends are idempotent no-ops.
@@ -2387,7 +2388,12 @@ class LakeTable:
           ``hash(key) % P``, per-partition vectorized resolution, update
           wins.
 
-        ``strategy``: "auto" (count-based), "broadcast", or "partitioned".
+        ``strategy``: "auto" — broadcast only while the update key set fits
+        BOTH a row-count budget (``broadcast_threshold``) and a key-byte
+        budget (``broadcast_key_bytes``, estimated from one sampled batch's
+        joined-key width: 2M narrow keys broadcast fine, 2M kilobyte-wide
+        keys must not squeeze through the driver heap) — or "broadcast" /
+        "partitioned" to force.
         """
         key = tuple(key)
         self._materialize_if_pending(run_ts)
@@ -2401,7 +2407,24 @@ class LakeTable:
             updates = ray.data.from_arrow(updates)
         else:
             n_raw = updates.count()
-        if strategy == "partitioned" or (strategy == "auto" and n_raw > broadcast_threshold):
+        too_big = n_raw > broadcast_threshold
+        if strategy == "auto" and not too_big and n_raw:
+            # byte-budget the key broadcast: estimate total joined-key bytes
+            # from ONE batch's average key width (keys are homogeneous-width
+            # in practice; the count budget alone is blind to kilobyte keys)
+            try:
+                probe = next(iter(
+                    (updates if isinstance(updates, ray.data.Dataset)
+                     else ray.data.from_arrow(updates))
+                    .select_columns(list(key))
+                    .iter_batches(batch_size=1024, batch_format="pyarrow")
+                ))
+                avg_w = (sum(len(s.encode("utf-8"))
+                             for s in _join_keys(probe, key)) / max(1, len(probe)))
+                too_big = n_raw * avg_w > broadcast_key_bytes
+            except StopIteration:
+                pass
+        if strategy == "partitioned" or (strategy == "auto" and too_big):
             return self.merge_partitioned(
                 updates, key=key, run_ts=run_ts, job_id=job_id,
                 num_partitions=dedup_partitions,
@@ -2788,7 +2811,12 @@ class LakeTable:
             if n_rm == 0:
                 return {"removed_keys": 0, "affected_files": 0, "files_out": 0}
             if strategy == "partitioned" or (
-                strategy == "auto" and n_rm > broadcast_threshold
+                strategy == "auto" and (
+                    n_rm > broadcast_threshold
+                    # byte guard (free: rmd is materialized): kilobyte-wide
+                    # keys must not ride the count budget into the driver
+                    or (rmd.size_bytes() or 0) > (256 << 20)
+                )
             ):
                 return self._delete_keys_partitioned(
                     rmd, key=key, run_ts=run_ts, job_id=job_id,

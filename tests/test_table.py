@@ -565,3 +565,18 @@ def test_merge_partitioned_skew_guard_off_for_uniform(table, source_files_small)
 
     res = table.merge_partitioned(ray.data.from_arrow(upd), run_ts=TS)
     assert res["skew_pre_dedup"] is False
+
+
+def test_merge_key_byte_budget_forces_partitioned(table, source_files_small):
+    """A tiny broadcast_key_bytes must route an under-count-budget update
+    set through the partitioned plan (kilobyte-wide keys can't ride the
+    count budget into the driver) — with identical merge semantics."""
+    upd = make_updates(source_files_small, 400, seed=43)
+    res = table.merge(upd, run_ts=TS, broadcast_key_bytes=1)
+    assert res["updates"] == 400
+    # the broadcast plan records its phase profile; the partitioned plan
+    # clears it on entry — an empty profile proves the byte budget rerouted
+    assert "keys" not in table.last_op_timings
+    got = table.to_arrow(columns=["repo", "path", "commit", "content"])
+    got_set = {(r["repo"], r["path"], r["commit"], r["content"]) for r in got.to_pylist()}
+    assert got_set == _expected_merge(source_files_small, upd)
