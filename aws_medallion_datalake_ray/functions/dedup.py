@@ -345,7 +345,13 @@ class BandEmitter(MinHasher):
         bands-fold replication (the payload crosses the shuffle bands x, and
         template-heavy corpora compress ~4x — the shuffle is network/disk
         bound at scale, the codec is CPU on otherwise-idle map workers)."""
-        b = self._fold_buckets(self.signatures_arrow(t[self.text_col]))
+        sigs = self.signatures_arrow(t[self.text_col])
+        b = self._fold_buckets(sigs)
+        # sig0 (first permutation minimum) rides along as a SIMILARITY proxy:
+        # near-identical docs share it with probability ~ their Jaccard, so
+        # ordering a mega-bucket by sig0 puts true near-dups adjacent — the
+        # chain cap's recall then survives arbitrary (e.g. digest) id orders
+        sig0 = np.repeat(sigs[:, 0].astype(np.int64), self.bands)
         idx = np.repeat(np.arange(len(t), dtype=np.int64), self.bands)
         if with_text and compress_text:
             import zlib
@@ -360,6 +366,7 @@ class BandEmitter(MinHasher):
         else:
             cols = [self.id_col] + ([self.text_col] if with_text else [])
             out = t.select(cols).take(pa.array(idx))
+        out = out.append_column("sig0", pa.array(sig0))
         return out.append_column(
             "bucket", pa.array(b.reshape(-1).astype(np.int64))
         )
@@ -515,11 +522,13 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         b = g["bucket"].to_numpy()
+        sig0 = (g["sig0"].to_numpy() if "sig0" in g.columns
+                else np.zeros(len(g), np.int64))
         order = np.lexsort((ids, b))
-        b, ids = b[order], ids[order]
+        b, ids, sig0 = b[order], ids[order], sig0[order]
         keep = np.ones(len(b), bool)  # drop (bucket, id) duplicates
         keep[1:] = (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])
-        b, ids = b[keep], ids[keep]
+        b, ids, sig0 = b[keep], ids[keep], sig0[keep]
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
         ends = np.r_[starts[1:], len(b)]
         out_a: list = []
@@ -534,16 +543,26 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
                 out_a.append(u[ia])
                 out_b.append(u[ib])
             else:
+                # three O(n) chains: sorted-id (key-prefix locality when ids
+                # are natural keys), sig0-order (minhash similarity proxy —
+                # near-dups stay adjacent under ARBITRARY id orders, e.g.
+                # digests), and hash-order (connectivity densifier)
                 perm = np.argsort(
                     pd.util.hash_pandas_object(
                         pd.Series(u), index=False).to_numpy(),
                     kind="stable",
                 )
                 h = u[perm]
+                sperm = np.lexsort((u, sig0[s:e]))
+                sv = u[sperm]
                 cand = pd.DataFrame(
                     {
-                        "id_a": np.concatenate([u[:-1], np.minimum(h[:-1], h[1:])]),
-                        "id_b": np.concatenate([u[1:], np.maximum(h[:-1], h[1:])]),
+                        "id_a": np.concatenate(
+                            [u[:-1], np.minimum(h[:-1], h[1:]),
+                             np.minimum(sv[:-1], sv[1:])]),
+                        "id_b": np.concatenate(
+                            [u[1:], np.maximum(h[:-1], h[1:]),
+                             np.maximum(sv[:-1], sv[1:])]),
                     }
                 ).drop_duplicates()
                 out_a.append(cand["id_a"].to_numpy())
@@ -905,11 +924,13 @@ def _local_verify_part_fn(id_col: str, text_col: str, max_bucket: int,
         b = g["bucket"].to_numpy()
         ids = g[id_col].to_numpy()
         txts = g[text_col].to_numpy()
+        sig0 = (g["sig0"].to_numpy() if "sig0" in g.columns
+                else np.zeros(len(g), np.int64))
         order = np.lexsort((ids, b))
-        b, ids, txts = b[order], ids[order], txts[order]
+        b, ids, txts, sig0 = b[order], ids[order], txts[order], sig0[order]
         keep = np.ones(len(b), bool)  # drop (bucket, id) duplicates
         keep[1:] = (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])
-        b, ids, txts = b[keep], ids[keep], txts[keep]
+        b, ids, txts, sig0 = b[keep], ids[keep], txts[keep], sig0[keep]
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
         ends = np.r_[starts[1:], len(b)]
 
@@ -924,17 +945,23 @@ def _local_verify_part_fn(id_col: str, text_col: str, max_bucket: int,
                 pos_a.append(s + ia)
                 pos_b.append(s + ib)
             else:
-                # dual-ordering chains (see _bucket_pairs_fn): positions are
-                # id-ascending within the run, so min/max position == min/max id
+                # triple-ordering chains (see _bucket_pairs_fn): positions
+                # are id-ascending within the run, so min/max position ==
+                # min/max id; the sig0 chain keeps near-dups adjacent under
+                # arbitrary id orders (digests)
                 u = ids[s:e]
                 perm = np.argsort(
                     pd.util.hash_pandas_object(
                         pd.Series(u), index=False).to_numpy(),
                     kind="stable",
                 )
+                sperm = np.lexsort((u, sig0[s:e]))
                 q1, q2 = perm[:-1], perm[1:]
-                ca = np.concatenate([np.arange(m - 1), np.minimum(q1, q2)])
-                cb = np.concatenate([np.arange(1, m), np.maximum(q1, q2)])
+                r1, r2 = sperm[:-1], sperm[1:]
+                ca = np.concatenate([np.arange(m - 1), np.minimum(q1, q2),
+                                     np.minimum(r1, r2)])
+                cb = np.concatenate([np.arange(1, m), np.maximum(q1, q2),
+                                     np.maximum(r1, r2)])
                 uniq = np.unique(ca.astype(np.int64) * np.int64(m) + cb)
                 pos_a.append(s + (uniq // m))
                 pos_b.append(s + (uniq % m))
