@@ -118,8 +118,8 @@ class LshBucketer:
 def embedding_near_dups(
     ds: Dataset, dim: int, threshold: float = 0.9, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 11,
-    max_bucket: int = 1024,
-) -> pd.DataFrame:
+    max_bucket: int = 1024, as_dataset: bool = False,
+) -> "pd.DataFrame | Dataset":
     """Embedding-cosine near-duplicate pairs via LSH-bucketed blocking.
 
     Vectors are bucketed by hyperplane signature (near-identical vectors
@@ -165,7 +165,7 @@ def embedding_near_dups(
         )
         return out.drop_duplicates(["id_a", "id_b"])
 
-    out = (
+    pairs_ds = (
         ds.map_batches(
             LshBucketer,
             fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed,
@@ -175,8 +175,14 @@ def embedding_near_dups(
         )
         .groupby("lsh_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        # scale path: pairs stay a Dataset (hash-partitioned distinct) —
+        # feed dedup/removal pipelines without a driver materialization
+        from aws_medallion_datalake_ray.functions.dedup import exact_dedup
+
+        return exact_dedup(pairs_ds, ("id_a", "id_b"), rebundle_narrow=True)
+    out = pairs_ds.to_pandas()
     return out.drop_duplicates(["id_a", "id_b"]).sort_values(
         ["id_a", "id_b"]
     ).reset_index(drop=True)

@@ -251,3 +251,28 @@ def test_embedding_near_dup_mega_bucket_bounded(ray_session):
     # every doc participates in at least one pair (cluster connectivity)
     seen = set(out["id_a"]) | set(out["id_b"])
     assert len(seen) == n
+
+
+def test_embedding_near_dups_as_dataset_matches(ray_session):
+    """The Dataset-returning scale path must equal the DataFrame wrapper
+    exactly (hash-partitioned distinct vs driver drop_duplicates)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions.embeddings import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 16))
+    vecs = np.vstack([base, base[:10] + rng.standard_normal((10, 16)) * 0.01])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    df = embedding_near_dups(ds, dim=16, threshold=0.95)
+    got = (embedding_near_dups(ds, dim=16, threshold=0.95, as_dataset=True)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(df, got, check_dtype=False)
+    assert len(df) >= 10  # the planted near-identical vectors all pair up
