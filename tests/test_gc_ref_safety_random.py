@@ -41,8 +41,9 @@ def _assert_refs_intact(t: LakeTable, clones: list) -> None:
                     f"clone {c.root} lost file {f.path} (source GC?)"
 
 
-def test_random_ref_gc_interleaving_never_breaks_a_ref(tmp_path, ray_session):
-    rng = np.random.default_rng(20260818)
+@pytest.mark.parametrize("seed0", [20260818, 414243])
+def test_random_ref_gc_interleaving_never_breaks_a_ref(tmp_path, ray_session, seed0):
+    rng = np.random.default_rng(seed0)
     t = LakeTable.create(str(tmp_path / "tbl"))
     seed = 1000
     snap = t.append(make_source_files(40, seed=seed), run_ts=TS)
