@@ -143,3 +143,42 @@ def test_dedup_near_local_verify_digest(tmp_path, ray_session):
                        verify="local", id_mode="digest")
     assert res["rows_deleted"] == 6
     assert t.scan().count() == 40
+
+
+def test_mega_bucket_recall_under_random_ids(ray_session):
+    """Recall guard for the digest-id regime: when ids carry NO semantic
+    locality and max_bucket forces chains inside whole-corpus mega-buckets,
+    every planted twin pair must still verify — via twin-only small buckets
+    in tail-sensitive bands plus the triple chains (sorted-id / sig0
+    minhash-order / hash-order) inside the crowded ones.  Pins the
+    candidate-coverage property the 9.7M-row rehearsal relies on."""
+    import numpy as np
+    import ray.data
+
+    from aws_medallion_datalake_ray.functions import dedup as dd
+
+    rng = np.random.default_rng(3)
+    shared = " ".join(f"tok{i}" for i in range(200))
+    # 20 twin PAIRS behind one shared template: every doc shares a 200-token
+    # prefix (so whole-corpus mega-buckets form, sim ~0.5 cross-pair) and
+    # only its twin clears the threshold (~0.97).  With max_bucket=8 the
+    # candidate set inside the mega-buckets comes from CHAINS alone — a
+    # random (digest-like) id order links mostly sub-threshold cross pairs,
+    # and only the sig0 (minhash-order) chain keeps twins adjacent
+    texts = []
+    for k in range(20):
+        tail = " ".join(f"pair{k}_w{j}" for j in range(100))
+        texts.append(f"{shared} {tail}")
+        texts.append(f"{shared} {tail} extra_token")
+    ids = rng.permutation(len(texts)).astype(np.int64)  # random = digest-like
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(texts, pa.string()),
+    }))
+    pairs = dd.near_dup_pairs(
+        ds, threshold=0.9, num_perm=64, bands=16, max_bucket=8,
+    ).to_pandas()
+    twin = {ids[2 * k]: ids[2 * k + 1] for k in range(20)}
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    missing = [k for k, (a, b) in enumerate(twin.items())
+               if (min(a, b), max(a, b)) not in got]
+    assert not missing, f"{len(missing)} twin pairs missed: {missing}"
